@@ -1,0 +1,35 @@
+"""Global dtype policy for the framework.
+
+The reference (`/root/reference/src/color.rs:2` and every shape) computes in
+f64. TPUs natively compute in f32 (f64 is emulated and an order of magnitude
+slower), so the TPU-native design is f32 throughout with scale-aware epsilons
+(see `rpt_tpu.intersect`). Set ``RPT_TPU_F64=1`` to enable f64 for parity
+debugging on CPU.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+_F64 = os.environ.get("RPT_TPU_F64", "0") == "1"
+
+if _F64:
+    jax.config.update("jax_enable_x64", True)
+
+#: Float dtype used for all geometry/radiometry computation.
+DTYPE = jnp.float64 if _F64 else jnp.float32
+
+#: Integer dtype for indices (BVH nodes, triangle ids, material ids).
+ITYPE = jnp.int32
+
+#: Large-but-finite sentinel used as "no hit" time (reference uses f64::INFINITY,
+#: `shape.rs:87`). We use actual inf; f32 inf is fine on TPU.
+INF = float("inf")
+
+
+def asf(x):
+    """Convert to the global float dtype."""
+    return jnp.asarray(x, dtype=DTYPE)

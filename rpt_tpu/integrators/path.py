@@ -1,0 +1,231 @@
+"""Wavefront path tracing.
+
+Ports ``Renderer::trace_ray`` (`/root/reference/src/renderer.rs:187-322`)
+from a per-ray recursion to whole-wavefront iteration:
+
+* **Surface branch** (no media, renderer.rs:286-321): bounded by
+  ``max_bounces``; emission only at bounce 0; NEE at every hit; per-level
+  per-channel firefly clamp of 100 applied to the *sub-path* result
+  (renderer.rs:311-313). Because the clamp wraps the recursive return
+  value, a forward throughput product cannot express it — we run a forward
+  ``lax.scan`` collecting per-level (contribution, factor) pairs and fold
+  them *backwards*: ``L_b = contrib_b + min(factor_b * L_{b+1}, 100)``.
+  This reproduces the recursion exactly.
+
+* **Media branch** (renderer.rs:188-285): Russian roulette p=0.8 at every
+  level, *ignoring* ``max_bounces`` and with no clamp — so plain forward
+  throughput accumulation in a fixed-cap scan (cap = ``media_max_depth``;
+  truncation error ~0.8^cap, far below Monte Carlo noise). Exactly one of
+  {medium event, surface event, miss} happens per level, selected by the
+  sampled free-flight distance vs the closest hit (miss uses
+  background_dist = 400, renderer.rs:199).
+
+Shadow-ray semantics: the reference accepts a light sample only when the
+closest hit lies *exactly* at the light distance within 1e-12
+(renderer.rs:396) — which requires the light's geometry to be a scene
+object (the dual-add pattern) and f64 exactness. We use the standard
+occlusion test (no occluder strictly closer than the light), which is
+equivalent for dual-added lights, matches upstream rpt for light-only
+geometry, and is robust in f32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import sampling
+from ..intersect import closest_hit
+from ..materials import bsdf, sample_f
+from ..ray import Ray
+from ..vec import Vec3, where
+
+FIREFLY_CLAMP = 100.0  # renderer.rs:18
+BACKGROUND_DIST = 400.0  # renderer.rs:199
+RR_P = 0.8  # renderer.rs:193
+
+
+def _sanitize(pos: Vec3, mask) -> Vec3:
+    zero = Vec3.zeros(jnp.shape(mask))
+    return where(mask, pos, zero)
+
+
+def sample_lights(scene, tables, mat, pos: Vec3, n: Vec3, wo: Vec3, keys) -> Vec3:
+    """renderer.rs:362-409 — NEE for a surface point."""
+    from ..lights import illuminate
+
+    color = Vec3.zeros(jnp.shape(pos.x))
+    for li, (lstat, ltab) in enumerate(zip(scene.lights, tables["lights"])):
+        if lstat.kind == "ambient":
+            color = color + ltab["color"].broadcast_to(pos.shape) * mat.color_query()
+            continue
+        lkeys = sampling.fold(keys, 0x1100 + li)
+        intensity, wi, dist = illuminate(lstat, ltab, pos, lkeys)
+        visible = _shadow_visible(scene, tables, pos, wi, dist)
+        f = bsdf(mat, n, wo, wi)
+        contrib = f * intensity * wi.dot(n)
+        color = color + where(visible, contrib, Vec3.zeros(jnp.shape(pos.x)))
+    return color
+
+
+def sample_lights_for_media(scene, tables, medium, pos: Vec3, wo: Vec3, keys) -> Vec3:
+    """renderer.rs:325-359 — NEE for a medium scattering point."""
+    from ..lights import illuminate
+
+    scat = medium.scattering(pos)
+    ext = medium.extinction(pos)
+    medium_color = medium.color(pos)
+    color = Vec3.zeros(jnp.shape(pos.x))
+    for li, (lstat, ltab) in enumerate(zip(scene.lights, tables["lights"])):
+        if lstat.kind == "ambient":
+            color = color + ltab["color"].broadcast_to(pos.shape) * medium_color
+            continue
+        lkeys = sampling.fold(keys, 0x1100 + li)
+        intensity, wi, dist = illuminate(lstat, ltab, pos, lkeys)
+        visible = _shadow_visible(scene, tables, pos, wi, dist)
+        ph = medium.phase(wo, wi)
+        contrib = intensity * medium_color * ((scat / ext) * ph)
+        color = color + where(visible, contrib, Vec3.zeros(jnp.shape(pos.x)))
+    return color
+
+
+def _shadow_visible(scene, tables, pos: Vec3, wi: Vec3, dist):
+    """True where no occluder lies strictly between ``pos`` and the light."""
+    hit = closest_hit(scene, tables, Ray(pos, wi))
+    limit = dist * (1.0 - scene.shadow_eps)
+    return ~(hit.time < limit)
+
+
+# ---------------------------------------------------------------------------
+# Surface-only branch (renderer.rs:286-321)
+
+
+def trace_surface(scene, tables, ray: Ray, keys, max_bounces: int) -> Vec3:
+    """Radiance for a wavefront of camera rays, no participating media."""
+    n = ray.origin.shape[0]
+    materials = tables["materials"]
+
+    def level(carry, b):
+        ray, keys_state, alive = carry
+        kb = sampling.fold(keys_state, jnp.asarray(b))
+        hit = closest_hit(scene, tables, ray)
+        hitmask = alive & hit.valid
+        missmask = alive & ~hit.valid
+
+        mat = materials.lookup(hit.material)
+        pos = _sanitize(ray.at(hit.time), hitmask)
+        wo = -ray.dir.normalize()
+
+        zero = Vec3.zeros(n)
+        emit = mat.color_query() * mat.emittance_query()
+        emit = where((b == 0) & hitmask, emit, zero)
+        nee = sample_lights(scene, tables, mat, pos, hit.normal, wo, sampling.fold(kb, 2))
+        env = scene.env_color(ray.dir)
+        contrib = emit + where(hitmask, nee, zero) + where(missmask, env, zero)
+
+        wi, pdf, valid = sample_f(mat, hit.normal, wo, sampling.fold(kb, 3))
+        f = bsdf(mat, hit.normal, wo, wi)
+        bounce_ok = hitmask & valid & (b < max_bounces)
+        safe_pdf = jnp.maximum(pdf, 1e-20)
+        factor = f * (jnp.abs(wi.dot(hit.normal)) / safe_pdf)
+        factor = where(bounce_ok, factor, zero)
+
+        new_ray = Ray(pos, wi)
+        return (new_ray, keys_state, bounce_ok), (contrib, factor)
+
+    init = (ray, keys, jnp.ones(n, bool))
+    _, (contribs, factors) = jax.lax.scan(level, init, jnp.arange(max_bounces + 1))
+
+    # backward clamp fold: L_b = contrib_b + min(factor_b * L_{b+1}, 100)
+    def back(L, level_data):
+        contrib, factor = level_data
+        indirect = (factor * L).minimum(FIREFLY_CLAMP)
+        return contrib + indirect, None
+
+    L0, _ = jax.lax.scan(back, Vec3.zeros(n), (contribs, factors), reverse=True)
+    return L0
+
+
+# ---------------------------------------------------------------------------
+# Media branch (renderer.rs:188-285)
+
+
+def trace_volumetric(scene, tables, ray: Ray, keys, max_depth: int = 32) -> Vec3:
+    """Radiance with a participating medium (scene.media[0] only, matching
+    the reference's TODO at renderer.rs:189)."""
+    n = ray.origin.shape[0]
+    materials = tables["materials"]
+    medium = scene.media[0]
+    zero = Vec3.zeros(n)
+
+    def level(carry, b):
+        ray, keys_state, throughput, L, alive = carry
+        kb = sampling.fold(keys_state, jnp.asarray(b))
+
+        d, _d_pdf, _d_cdf = medium.sample_d(ray, sampling.fold(kb, 1))
+        hit = closest_hit(scene, tables, ray)
+        has_hit = hit.valid
+        max_dist = jnp.where(has_hit, hit.time, BACKGROUND_DIST)
+        medium_event = alive & (d < max_dist)
+        surface_event = alive & ~medium_event & has_hit
+        escape_event = alive & ~medium_event & ~has_hit
+
+        wo = -ray.dir.normalize()
+        collision = _sanitize(ray.at(d), medium_event)
+        surf_pos = _sanitize(ray.at(hit.time), surface_event)
+        mat = materials.lookup(hit.material)
+
+        # --- per-level emitted/NEE contribution -------------------------
+        emit_surf = where((b == 0) & surface_event, mat.color_query() * mat.emittance_query(), zero)
+        emm = medium.emission(collision)
+        med_color_c = medium.color(collision)
+        emit_med = where((b == 0) & medium_event, med_color_c * emm, zero)
+        # miss contributes env only when the flight distance reached past
+        # the background (renderer.rs:198-205)
+        env = where(escape_event & (d >= BACKGROUND_DIST), scene.env_color(ray.dir), zero)
+
+        # shared shadow ray: position depends on the event kind
+        nee_pos = where(medium_event, collision, surf_pos)
+        nee_surf = sample_lights(scene, tables, mat, nee_pos, hit.normal, wo, sampling.fold(kb, 2))
+        nee_med = sample_lights_for_media(
+            scene, tables, medium, nee_pos, wo, sampling.fold(kb, 3)
+        )
+
+        contrib = (
+            emit_surf
+            + emit_med
+            + env
+            + where(surface_event, nee_surf, zero)
+            + where(medium_event, nee_med, zero)
+        )
+        L = L + throughput * contrib
+
+        # --- Russian roulette continuation (p = 0.8) --------------------
+        u = sampling.uniform(sampling.fold(kb, 4))
+        survive = u < RR_P
+
+        # surface continuation (renderer.rs:222-234)
+        wi_s, pdf_s, valid_s = sample_f(mat, hit.normal, wo, sampling.fold(kb, 5))
+        f = bsdf(mat, hit.normal, wo, wi_s)
+        surf_factor = f * (jnp.abs(wi_s.dot(hit.normal)) / (jnp.maximum(pdf_s, 1e-20) * RR_P))
+
+        # medium continuation (renderer.rs:262-281)
+        abs_c = medium.absorption(collision)
+        scat_c = medium.scattering(collision)
+        ext_c = abs_c + scat_c
+        wi_m, ph_p = medium.sample_ph(wo, sampling.fold(kb, 6))
+        ph = medium.phase(wo, wi_m)
+        med_factor = med_color_c * ((scat_c / ext_c) * ph / (jnp.maximum(ph_p, 1e-20) * RR_P))
+
+        cont = survive & (medium_event | (surface_event & valid_s))
+        throughput = throughput * where(medium_event, med_factor, surf_factor)
+        throughput = where(cont, throughput, zero)
+        new_ray = Ray(
+            where(medium_event, collision, surf_pos),
+            where(medium_event, wi_m, wi_s),
+        )
+        return (new_ray, keys_state, throughput, L, cont), None
+
+    init = (ray, keys, Vec3.ones(n), zero, jnp.ones(n, bool))
+    (_, _, _, L, _), _ = jax.lax.scan(level, init, jnp.arange(max_depth))
+    return L

@@ -1,0 +1,222 @@
+"""Renderer: the builder-style front end and the jitted render launches.
+
+Parity: `/root/reference/src/renderer.rs:23-184`. Same fields and defaults
+(renderer.rs:60-75); ``render``/``iterative_render`` mirror
+renderer.rs:137-156. Execution model: one jitted launch traces one sample
+for every pixel as a single wavefront (camera ray generation + integrator
+scan); ``lax.scan`` over the per-call sample count; the host accumulates
+per-call means into the ``Buffer`` (exactly one buffer sample per
+``sample()`` call, as the reference does).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import time as _time
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import sampling
+from .buffer import Buffer, Filter
+from .camera import Camera
+from .dtypes import DTYPE
+from .integrators.path import trace_surface, trace_volumetric
+from .ray import Ray
+from .scene import CompiledScene, Scene
+from .vec import Vec3
+
+
+@dataclass
+class Renderer:
+    """Builder object (renderer.rs:23-134). Chainable setters return self
+    for reference-style call chains."""
+
+    scene: Scene
+    camera: Camera
+    width_: int = 800
+    height_: int = 600
+    exposure_value_: float = 0.0
+    filter_: Filter = Filter()
+    stepsize_: float = 0.0
+    max_bounces_: int = 0
+    num_samples_: int = 1
+    gather_size_: int = 50
+    gather_size_volume_: int = 50
+    watts_: float = 100.0
+    seed_: int = 0
+    media_max_depth_: int = 32
+
+    def __post_init__(self):
+        self._compiled: CompiledScene | None = None
+        self.ray_counter = RayCounter()
+
+    # builder setters ----------------------------------------------------
+    def width(self, v):
+        self.width_ = int(v)
+        return self
+
+    def height(self, v):
+        self.height_ = int(v)
+        return self
+
+    def exposure_value(self, v):
+        self.exposure_value_ = float(v)
+        return self
+
+    def filter(self, f: Filter):
+        self.filter_ = f
+        return self
+
+    def stepsize(self, v):
+        self.stepsize_ = float(v)
+        return self
+
+    def max_bounces(self, v):
+        self.max_bounces_ = int(v)
+        return self
+
+    def num_samples(self, v):
+        self.num_samples_ = int(v)
+        return self
+
+    def gather_size(self, v):
+        self.gather_size_ = int(v)
+        return self
+
+    def gather_size_volume(self, v):
+        self.gather_size_volume_ = int(v)
+        return self
+
+    def watts(self, v):
+        self.watts_ = float(v)
+        return self
+
+    def seed(self, v):
+        self.seed_ = int(v)
+        return self
+
+    def media_max_depth(self, v):
+        self.media_max_depth_ = int(v)
+        return self
+
+    # ------------------------------------------------------------------
+    @property
+    def compiled(self) -> CompiledScene:
+        if self._compiled is None:
+            self._compiled = self.scene.compile()
+        return self._compiled
+
+    def render(self) -> np.ndarray:
+        """Path trace and return an (H, W, 3) sRGB u8 image
+        (renderer.rs:137-141)."""
+        buffer = Buffer(self.width_, self.height_, self.filter_)
+        self.sample(self.num_samples_, buffer)
+        return buffer.image()
+
+    def iterative_render(self, callback_interval: int, callback):
+        """Progressive render; callback(iteration, buffer) every
+        ``callback_interval`` samples (renderer.rs:144-156)."""
+        buffer = Buffer(self.width_, self.height_, self.filter_)
+        iteration = 0
+        while iteration < self.num_samples_:
+            steps = min(self.num_samples_ - iteration, callback_interval)
+            self.sample(steps, buffer)
+            iteration += steps
+            callback(iteration, buffer)
+        return buffer
+
+    def sample(self, iterations: int, buffer: Buffer):
+        """Trace ``iterations`` paths per pixel; add ONE sample (their mean,
+        exposure-scaled) to the buffer — mirroring renderer.rs:158-184."""
+        scene = self.compiled
+        fn = _render_launch(
+            scene,
+            self.camera,
+            self.width_,
+            self.height_,
+            self.max_bounces_,
+            self.media_max_depth_,
+            int(iterations),
+        )
+        key = jax.random.key(self.seed_)
+        t0 = _time.perf_counter()
+        out = fn(scene.tables, key, jnp.asarray(self._sample_index, jnp.int32))
+        total = np.asarray(out, np.float64)
+        self._sample_index += iterations
+        elapsed = _time.perf_counter() - t0
+        self.ray_counter.record(scene, self.width_, self.height_, iterations,
+                                self.max_bounces_, self.media_max_depth_, elapsed)
+        mean = total / iterations * (2.0**self.exposure_value_)
+        buffer.add_samples(mean.reshape(self.height_, self.width_, 3))
+
+    _sample_index: int = 0
+
+
+class RayCounter:
+    """Rays/sec instrumentation (the reference has none; SURVEY §5.1)."""
+
+    def __init__(self):
+        self.rays = 0
+        self.seconds = 0.0
+
+    def record(self, scene, width, height, iterations, max_bounces, media_depth, elapsed):
+        paths = width * height * iterations
+        # camera segments + one shadow segment per non-ambient light per hit
+        n_shadow = sum(1 for l in scene.lights if l.kind != "ambient")
+        if scene.media:
+            segs = 1.0 / (1.0 - 0.8)  # expected path length under RR p=0.8
+        else:
+            segs = max_bounces + 1
+        self.rays += int(paths * segs * (1 + n_shadow))
+        self.seconds += elapsed
+
+    @property
+    def mrays_per_sec(self) -> float:
+        return self.rays / self.seconds / 1e6 if self.seconds else 0.0
+
+
+@functools.lru_cache(maxsize=16)
+def _render_launch(scene: CompiledScene, camera: Camera, width: int, height: int,
+                   max_bounces: int, media_max_depth: int, n_samples: int):
+    """Build + jit a render launch: ``n_samples`` paths per pixel, summed on
+    device (one ``lax.scan`` over samples; one wavefront per sample).
+
+    Returns fn(tables, key, sample_index0) -> (H*W, 3) radiance sum.
+    Cached per (scene structure, camera, size, bounces, samples).
+    """
+    n_pix = width * height
+    dim = float(max(width, height))
+
+    xs = np.arange(n_pix, dtype=np.int64)
+    px = (xs % width).astype(np.float64)
+    py = (xs // width).astype(np.float64)
+    # NDC mapping (renderer.rs:174-176): y flipped, aspect via max(w, h)
+    xn_np = (2.0 * px + 1.0 - width) / dim
+    yn_np = (2.0 * (height - py) - 1.0 - height) / dim
+
+    def launch(tables, key, sample_index0):
+        xn = jnp.asarray(xn_np, DTYPE)
+        yn = jnp.asarray(yn_np, DTYPE)
+        pix_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_pix))
+
+        def one_sample(acc, s):
+            keys = sampling.fold(pix_keys, sample_index0 + s)
+            jx = sampling.uniform(sampling.fold(keys, 1), -1.0 / dim, 1.0 / dim)
+            jy = sampling.uniform(sampling.fold(keys, 2), -1.0 / dim, 1.0 / dim)
+            ray = camera.cast_ray(xn + jx, yn + jy, sampling.fold(keys, 3))
+            trace_keys = sampling.fold(keys, 4)
+            if scene.media:
+                color = trace_volumetric(scene, tables, ray, trace_keys, media_max_depth)
+            else:
+                color = trace_surface(scene, tables, ray, trace_keys, max_bounces)
+            return acc + color.to_array().astype(jnp.float32), None
+
+        acc0 = jnp.zeros((n_pix, 3), jnp.float32)
+        total, _ = jax.lax.scan(one_sample, acc0, jnp.arange(n_samples))
+        return total
+
+    return jax.jit(launch)

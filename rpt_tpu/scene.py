@@ -1,0 +1,272 @@
+"""Scene description and compilation to flat device tables.
+
+Parity: `/root/reference/src/scene.rs` and `src/object.rs`. ``Scene.add``
+accepts objects, lights, media, environments, and the (geometry, material)
+dual-add that registers emissive geometry as both a visible object and a
+light at once (scene.rs:57-75).
+
+``compile()`` lowers the object list into SoA device tables grouped by
+primitive type: mesh triangles are baked to world space and packed into one
+flattened rope-BVH; analytic primitives keep inverse/normal transforms per
+``Transformed`` semantics (shape.rs:102-126). The result is a static
+``CompiledScene`` (Python structure, closed over by jitted kernels) plus a
+``tables`` pytree of device arrays (passed as kernel arguments).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from .accel.bvh import build_bvh
+from .dtypes import DTYPE
+from .environment import ColorEnvironment, Hdri
+from .intersect import BVHTables, PlaneSet, PrimSet, TriangleSoA
+from .lights import (
+    AmbientLight,
+    CompiledLight,
+    DirectionalLight,
+    Light,
+    ObjectLight,
+    PointLight,
+    compile_light,
+)
+from .materials import Material, MaterialTable
+from .medium import Medium
+from .shapes import (
+    Cube,
+    Mesh,
+    MonomialSurface,
+    Plane,
+    Sphere,
+    Transformed,
+    transform_mesh,
+    unwrap,
+)
+from .vec import Affine, Mat3, Vec3
+
+
+class Object:
+    """Shape + material (object.rs:10-32)."""
+
+    def __init__(self, shape, material: Material | None = None):
+        self.shape = shape
+        self._material = material or Material()
+
+    def material(self, material: Material) -> "Object":
+        return Object(self.shape, material)
+
+
+_LIGHT_TYPES = (PointLight, AmbientLight, DirectionalLight, ObjectLight)
+
+
+class Scene:
+    """Mutable scene builder (scene.rs:12-31)."""
+
+    def __init__(self):
+        self.objects: list[Object] = []
+        self.lights: list = []
+        self.media: list[Medium] = []
+        self.environment = ColorEnvironment()
+
+    def add(self, node):
+        """SceneAdd overloads (scene.rs:39-81), including the object+light
+        dual add for (geometry, material) tuples (scene.rs:57-75)."""
+        if isinstance(node, Object):
+            self.objects.append(node)
+        elif isinstance(node, _LIGHT_TYPES):
+            self.lights.append(node)
+        elif isinstance(node, Medium):
+            self.media.append(node)
+        elif isinstance(node, (ColorEnvironment, Hdri)):
+            self.environment = node
+        elif isinstance(node, tuple) and len(node) == 2 and isinstance(node[1], Material):
+            geometry, material = node
+            self.objects.append(Object(geometry, material))
+            self.lights.append(Light.Object(Object(geometry, material)))
+        else:
+            raise TypeError(f"Cannot add {type(node).__name__} to scene")
+
+    def compile(self) -> "CompiledScene":
+        return compile_scene(self)
+
+
+@dataclass(frozen=True)
+class CompiledScene:
+    """Static structure of a compiled scene. Jitted kernels close over this;
+    the array payload lives in ``tables`` (a pytree argument)."""
+
+    n_spheres: int
+    n_planes: int
+    n_cubes: int
+    n_monomials: int
+    n_tris: int
+    lights: tuple  # tuple[CompiledLight, ...]
+    media: tuple  # tuple[Medium, ...] (callables traced into kernels)
+    environment: object
+    t_min: float  # scale-aware ray epsilon (reference: 1e-12 in f64)
+    shadow_eps: float  # relative tolerance of the shadow-visibility test
+    scale: float  # scene diameter estimate
+    tables: dict = field(compare=False, repr=False)
+
+    def env_color(self, direction) -> Vec3:
+        return self.environment.get_color(self.tables["env"], direction)
+
+
+def _prim_set(entries) -> PrimSet:
+    mats = np.array([e[1] for e in entries], np.int32)
+    m4 = np.stack([e[0] for e in entries])
+    inv = np.linalg.inv(m4)
+    lin = m4[:, :3, :3]
+    params = np.array([e[2] for e in entries], np.float64)
+    return PrimSet(
+        world_to_obj=Affine.from_numpy(inv),
+        normal_mat=Mat3.from_numpy(np.linalg.inv(lin).transpose(0, 2, 1)),
+        obj_to_world=Affine.from_numpy(m4),
+        det=jnp.asarray(np.linalg.det(lin), DTYPE),
+        material=jnp.asarray(mats),
+        param=jnp.asarray(params, DTYPE),
+    )
+
+
+def compile_scene(scene: Scene) -> CompiledScene:
+    materials: list[Material] = []
+    mat_ids: dict[Material, int] = {}
+
+    def mat_id(m: Material) -> int:
+        if m not in mat_ids:
+            mat_ids[m] = len(materials)
+            materials.append(m)
+        return mat_ids[m]
+
+    spheres, cubes, monomials, planes = [], [], [], []
+    tri_v, tri_n, tri_m = [], [], []
+    points_min, points_max = [], []
+
+    for obj in scene.objects:
+        base, matrix = unwrap(obj.shape)
+        mid = mat_id(obj._material)
+        if isinstance(base, Sphere):
+            spheres.append((matrix, mid, 0.0))
+            _track_bbox(points_min, points_max, base.bounding_box(), matrix)
+        elif isinstance(base, Cube):
+            cubes.append((matrix, mid, 0.0))
+            _track_bbox(points_min, points_max, base.bounding_box(), matrix)
+        elif isinstance(base, MonomialSurface):
+            if abs(base.exp - 4.0) > 1e-9:
+                raise NotImplementedError("MonomialSurface requires exp == 4 (as the reference)")
+            monomials.append((matrix, mid, base.height))
+            _track_bbox(points_min, points_max, base.bounding_box(), matrix)
+        elif isinstance(base, Plane):
+            # transform the plane equation analytically: under x -> Mx + t,
+            # {p . n = v} maps to {p . n' = v'} with n' = M^-T n,
+            # v' = v + n' . t
+            m4 = np.asarray(matrix, np.float64)
+            n_new = np.linalg.inv(m4[:3, :3]).T @ np.asarray(base.normal, np.float64)
+            v_new = float(base.value + n_new @ m4[:3, 3])
+            planes.append((n_new, v_new, mid))
+        elif isinstance(base, Mesh):
+            mesh = transform_mesh(base, matrix) if isinstance(obj.shape, Transformed) else base
+            tri_v.append(mesh.vertices)
+            tri_n.append(mesh.normals)
+            tri_m.append(np.full(len(mesh), mid, np.int32))
+            if len(mesh):
+                points_min.append(mesh.vertices.reshape(-1, 3).min(0))
+                points_max.append(mesh.vertices.reshape(-1, 3).max(0))
+        else:
+            raise NotImplementedError(f"Unsupported shape {type(base).__name__}")
+
+    tables: dict = {}
+
+    if spheres:
+        tables["spheres"] = _prim_set(spheres)
+    if cubes:
+        tables["cubes"] = _prim_set(cubes)
+    if monomials:
+        tables["monomials"] = _prim_set(monomials)
+    if planes:
+        tables["planes"] = PlaneSet(
+            normal=Vec3.from_array(np.stack([p[0] for p in planes])),
+            value=jnp.asarray(np.array([p[1] for p in planes]), DTYPE),
+            material=jnp.asarray(np.array([p[2] for p in planes], np.int32)),
+        )
+
+    n_tris = 0
+    if tri_v:
+        v = np.concatenate(tri_v)
+        n = np.concatenate(tri_n)
+        m = np.concatenate(tri_m)
+        n_tris = len(v)
+        bb_min = v.min(1)
+        bb_max = v.max(1)
+        bvh = build_bvh(bb_min, bb_max)
+        perm = bvh.perm
+        v, n, m = v[perm], n[perm], m[perm]
+        tables["tris"] = TriangleSoA(
+            v1=Vec3.from_array(v[:, 0]),
+            v2=Vec3.from_array(v[:, 1]),
+            v3=Vec3.from_array(v[:, 2]),
+            n1=Vec3.from_array(n[:, 0]),
+            n2=Vec3.from_array(n[:, 1]),
+            n3=Vec3.from_array(n[:, 2]),
+            material=jnp.asarray(m),
+        )
+        tables["bvh"] = BVHTables(
+            bb_min=Vec3.from_array(bvh.bb_min),
+            bb_max=Vec3.from_array(bvh.bb_max),
+            left=jnp.asarray(bvh.left),
+            first=jnp.asarray(bvh.first),
+            count=jnp.asarray(bvh.count),
+            rope=jnp.asarray(bvh.rope),
+        )
+
+    compiled_lights = []
+    light_tabs = []
+    for light in scene.lights:
+        st, tb = compile_light(light)
+        compiled_lights.append(st)
+        light_tabs.append(tb)
+    tables["lights"] = tuple(light_tabs)
+    tables["materials"] = MaterialTable.build(materials)
+    tables["env"] = scene.environment.tables()
+
+    # scale-aware epsilons: the reference's EPSILON=1e-12 (renderer.rs:17)
+    # relies on f64; in f32 we scale with the scene diameter.
+    if points_min:
+        lo = np.minimum.reduce(points_min)
+        hi = np.maximum.reduce(points_max)
+        scale = float(np.linalg.norm(hi - lo))
+    else:
+        scale = 1.0
+    scale = max(scale, 1e-6)
+    t_min = 2e-4 * scale
+
+    return CompiledScene(
+        n_spheres=len(spheres),
+        n_planes=len(planes),
+        n_cubes=len(cubes),
+        n_monomials=len(monomials),
+        n_tris=n_tris,
+        lights=tuple(compiled_lights),
+        media=tuple(scene.media),
+        environment=scene.environment,
+        t_min=t_min,
+        shadow_eps=1e-3,
+        scale=scale,
+        tables=tables,
+    )
+
+
+def _track_bbox(points_min, points_max, bbox, matrix):
+    """Transform the 8 bbox corners (shape.rs:154-177) for scene-scale
+    estimation."""
+    lo, hi = bbox
+    corners = np.array(
+        [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1]) for z in (lo[2], hi[2])]
+    )
+    m4 = np.asarray(matrix, np.float64)
+    world = corners @ m4[:3, :3].T + m4[:3, 3]
+    points_min.append(world.min(0))
+    points_max.append(world.max(0))
