@@ -1,0 +1,144 @@
+"""Benchmark: Mrays/sec/chip on the dragon-scale mesh scene at 512x512.
+
+Mirrors the workload of the reference's `examples/dragon.rs:25-74`
+(specular ~871k-triangle mesh + plane + ambient + two spherical area
+lights, 2 bounces). The Stanford dragon OBJ is downloaded at run time by
+the reference; with no network access we use a deterministic procedural
+mesh of the same triangle count (`rpt_tpu.meshes.displaced_blob`), or the
+real OBJ from ``data/dragon.obj`` if present.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is relative to the 100 Mrays/sec/chip north-star target
+(BASELINE.md).
+"""
+
+import json
+import math
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import rpt_tpu as rpt
+from rpt_tpu import sampling
+from rpt_tpu.dtypes import DTYPE
+from rpt_tpu.integrators.path import trace_surface
+from rpt_tpu.meshes import displaced_blob
+
+WIDTH = HEIGHT = 512
+SPP = 8
+MAX_BOUNCES = 2
+TARGET_MRAYS = 100.0
+
+
+def load_dragon_mesh():
+    path = os.path.join(os.path.dirname(__file__), "data", "dragon.obj")
+    if os.path.exists(path):
+        from rpt_tpu.io import load_obj
+
+        return load_obj(path)
+    # 660 x 661 grid -> ~871k triangles, matching the dragon's scale
+    return displaced_blob(660, 661)
+
+
+def build_scene() -> rpt.Scene:
+    dragon = load_dragon_mesh()
+    scene = rpt.Scene()
+    scene.add(
+        rpt.Object(
+            dragon.scale((3.4, 3.4, 3.4)).rotate_y(math.pi / 2)
+        ).material(rpt.Material.specular(rpt.hex_color(0xB7CA79), 0.1))
+    )
+    scene.add(
+        rpt.Object(rpt.plane((0.0, 1.0, 0.0), -1.0)).material(
+            rpt.Material.diffuse(rpt.hex_color(0xAAAAAA))
+        )
+    )
+    scene.add(rpt.Light.Ambient((0.01, 0.01, 0.01)))
+    scene.add(
+        rpt.Light.Object(
+            rpt.Object(rpt.sphere().scale((2.0, 2.0, 2.0)).translate((0.0, 20.0, 3.0))).material(
+                rpt.Material.light((1.0, 1.0, 1.0), 160.0)
+            )
+        )
+    )
+    scene.add(
+        rpt.Light.Object(
+            rpt.Object(
+                rpt.sphere().scale((0.05, 0.05, 0.05)).translate((-1.0, 0.71, 0.0))
+            ).material(rpt.Material.light(rpt.hex_color(0xFFAAAA), 400.0))
+        )
+    )
+    return scene
+
+
+def main():
+    t_setup = time.time()
+    scene = build_scene().compile()
+    camera = rpt.Camera.look_at(
+        (-2.5, 4.0, 6.5), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0), math.pi / 6
+    )
+    n_pix = WIDTH * HEIGHT
+    dim = float(max(WIDTH, HEIGHT))
+    xs = np.arange(n_pix)
+    xn = jnp.asarray((2.0 * (xs % WIDTH) + 1.0 - WIDTH) / dim, DTYPE)
+    yn = jnp.asarray((2.0 * (HEIGHT - xs // WIDTH) - 1.0 - HEIGHT) / dim, DTYPE)
+
+    @jax.jit
+    def launch(tables, key, s0):
+        pix_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_pix))
+
+        def one(acc, s):
+            acc_img, acc_segs = acc
+            keys = sampling.fold(pix_keys, s0 + s)
+            jx = sampling.uniform(sampling.fold(keys, 1), -1.0 / dim, 1.0 / dim)
+            jy = sampling.uniform(sampling.fold(keys, 2), -1.0 / dim, 1.0 / dim)
+            ray = camera.cast_ray(xn + jx, yn + jy, sampling.fold(keys, 3))
+            color, segs = trace_surface(
+                scene, tables, ray, sampling.fold(keys, 4), MAX_BOUNCES, return_stats=True
+            )
+            return (acc_img + color.to_array(), acc_segs + segs), None
+
+        (img, segs), _ = jax.lax.scan(
+            one, (jnp.zeros((n_pix, 3), DTYPE), jnp.zeros((), jnp.int32)), jnp.arange(SPP)
+        )
+        return img, segs
+
+    key = jax.random.key(0)
+    # warmup/compile
+    img, segs = launch(scene.tables, key, jnp.asarray(0, jnp.int32))
+    jax.block_until_ready((img, segs))
+    setup_s = time.time() - t_setup
+
+    best = float("inf")
+    reps = 3
+    for r in range(reps):
+        t0 = time.perf_counter()
+        img, segs = launch(scene.tables, key, jnp.asarray((r + 1) * SPP, jnp.int32))
+        jax.block_until_ready((img, segs))
+        best = min(best, time.perf_counter() - t0)
+
+    total_rays = int(segs)
+    mrays = total_rays / best / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "dragon_512_mrays_per_sec_per_chip",
+                "value": round(mrays, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / TARGET_MRAYS, 3),
+            }
+        )
+    )
+    print(
+        f"# {total_rays} ray segments in {best:.3f}s best-of-{reps}; "
+        f"setup+compile {setup_s:.1f}s; mean radiance {float(np.asarray(img).mean()):.4f}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

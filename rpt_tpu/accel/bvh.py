@@ -25,7 +25,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-LEAF_SIZE = 4
+LEAF_SIZE = 8  # must match rpt_tpu.intersect.LEAF_TRIS
 SENTINEL = np.int32(-1)
 
 
@@ -69,11 +69,29 @@ def _morton3(x: np.ndarray) -> np.ndarray:
 
 
 def build_bvh(bb_min: np.ndarray, bb_max: np.ndarray, leaf_size: int = LEAF_SIZE) -> FlatBVH:
-    """Build a rope-threaded LBVH over primitive AABBs.
+    """Build a BVH over primitive AABBs.
 
-    ``bb_min``/``bb_max``: (n, 3) float arrays. Fully vectorized (Karras
-    2012 radix-tree construction; no recursion).
+    Prefers the native C++ binned-SAH builder (`rpt_tpu.native`) — better
+    tree quality directly cuts the TPU wavefront's traversal steps — and
+    falls back to the fully-vectorized numpy LBVH (Karras 2012 radix tree)
+    when no toolchain is available.
     """
+    if len(bb_min) > 2 * leaf_size:
+        try:
+            from ..native import build_bvh_sah
+
+            sah = build_bvh_sah(bb_min, bb_max, leaf_size)
+            if sah is not None:
+                return sah
+        except Exception as e:  # pragma: no cover - fallback path
+            import sys
+
+            print(f"rpt_tpu: native SAH builder unavailable ({e!r}); using LBVH", file=sys.stderr)
+    return build_lbvh(bb_min, bb_max, leaf_size)
+
+
+def build_lbvh(bb_min: np.ndarray, bb_max: np.ndarray, leaf_size: int = LEAF_SIZE) -> FlatBVH:
+    """Vectorized-numpy LBVH (Karras 2012); no recursion, no native code."""
     bb_min = np.asarray(bb_min, np.float64).reshape(-1, 3)
     bb_max = np.asarray(bb_max, np.float64).reshape(-1, 3)
     n = len(bb_min)
@@ -209,6 +227,88 @@ def build_bvh(bb_min: np.ndarray, bb_max: np.ndarray, leaf_size: int = LEAF_SIZE
         rope,
         order.astype(np.int32),
     )
+
+
+def pack_bvh(bvh: FlatBVH, verts: np.ndarray, normals: np.ndarray, mats: np.ndarray):
+    """Pack a FlatBVH + triangle soup into the pair-packed row layout of
+    `rpt_tpu.intersect.BVHTables` (NODE_ROW/LEAF_ROW/SHADE_ROW there).
+
+    Each packed node row describes an *internal* node: both children's
+    boxes + (ptr, meta) pairs, where meta>0 marks a leaf child with that
+    triangle count, meta==0 an internal child, meta<0 an empty slot.
+
+    ``verts``/``normals``: (T, 3, 3) in ORIGINAL order; ``bvh.perm`` is
+    applied here. Integers are stored as exact small floats (< 2^24).
+    Returns (nodes, leaves, shade) float32 arrays.
+    """
+    from ..intersect import LEAF_ROW, LEAF_TRIS, NODE_ROW, SHADE_ROW
+
+    k = bvh.n_nodes
+    v = np.asarray(verts, np.float64).reshape(-1, 3, 3)[bvh.perm]
+    nm = np.asarray(normals, np.float64).reshape(-1, 3, 3)[bvh.perm]
+    m = np.asarray(mats).reshape(-1)[bvh.perm]
+    t = len(v)
+
+    leaf_mask = bvh.count > 0
+    leaf_ids = np.cumsum(leaf_mask) - 1  # dense leaf-row numbering
+    n_leaves = int(leaf_mask.sum())
+
+    # --- leaf rows (component-major blocks of LEAF_TRIS slots) ----------
+    leaves = np.zeros((max(n_leaves, 1), LEAF_ROW), np.float32)
+    leaves[:, 9 * LEAF_TRIS :] = -1.0  # id block: -1 padding
+    lf = np.nonzero(leaf_mask)[0]
+    for slot in range(LEAF_TRIS):
+        rows = leaf_ids[lf]
+        idx = bvh.first[lf] + slot
+        ok = slot < bvh.count[lf]
+        rs, ii = rows[ok], idx[ok]
+        v1 = v[ii, 0]
+        e1 = v[ii, 1] - v1
+        e2 = v[ii, 2] - v1
+        for c, vals in enumerate(
+            (v1[:, 0], v1[:, 1], v1[:, 2], e1[:, 0], e1[:, 1], e1[:, 2],
+             e2[:, 0], e2[:, 1], e2[:, 2])
+        ):
+            leaves[rs, LEAF_TRIS * c + slot] = vals
+        leaves[rs, LEAF_TRIS * 9 + slot] = ii
+
+    # --- pair-packed internal node rows --------------------------------
+    internal_mask = ~leaf_mask
+    internal_ids = np.cumsum(internal_mask) - 1
+    ii_all = np.nonzero(internal_mask)[0]
+
+    # node row layout (pairwise interleaved): field f of child side s lives
+    # at column 2*f + s, f in [minx,miny,minz,maxx,maxy,maxz,ptr,meta]
+    if len(ii_all) == 0:
+        # whole tree is a single leaf: synthesize one internal row with an
+        # empty right child (inverted box -> never hit)
+        nodes = np.zeros((1, NODE_ROW), np.float32)
+        for f in range(3):
+            nodes[0, 2 * f] = bvh.bb_min[0, f] if k else 0.0
+            nodes[0, 2 * f + 1] = 1e30
+            nodes[0, 2 * (3 + f)] = bvh.bb_max[0, f] if k else 0.0
+            nodes[0, 2 * (3 + f) + 1] = -1e30
+        nodes[0, 12] = 0  # left ptr = leaf row 0
+        nodes[0, 13] = 0
+        nodes[0, 14] = bvh.count[0] if k else -1  # left meta
+        nodes[0, 15] = -1  # right empty
+    else:
+        nodes = np.zeros((len(ii_all), NODE_ROW), np.float32)
+        for side, child in ((0, bvh.left[ii_all]), (1, bvh.right[ii_all])):
+            is_leaf = leaf_mask[child]
+            ptr = np.where(is_leaf, leaf_ids[child], internal_ids[child])
+            meta = np.where(is_leaf, bvh.count[child], 0)
+            for f in range(3):
+                nodes[:, 2 * f + side] = bvh.bb_min[child, f]
+                nodes[:, 2 * (3 + f) + side] = bvh.bb_max[child, f]
+            nodes[:, 12 + side] = ptr
+            nodes[:, 14 + side] = meta
+
+    shade = np.zeros((max(t, 1), SHADE_ROW), np.float32)
+    if t:
+        shade[:, 0:9] = nm.reshape(t, 9)
+        shade[:, 9] = m
+    return nodes, leaves, shade
 
 
 def _common_prefix(keys: np.ndarray, i: np.ndarray, j: np.ndarray, n: int) -> np.ndarray:

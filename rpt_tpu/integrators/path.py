@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import sampling
-from ..intersect import closest_hit
+from ..intersect import closest_hit, occluded
 from ..materials import bsdf, sample_f
 from ..ray import Ray
 from ..vec import Vec3, where
@@ -91,19 +91,24 @@ def sample_lights_for_media(scene, tables, medium, pos: Vec3, wo: Vec3, keys) ->
 
 def _shadow_visible(scene, tables, pos: Vec3, wi: Vec3, dist):
     """True where no occluder lies strictly between ``pos`` and the light."""
-    hit = closest_hit(scene, tables, Ray(pos, wi))
     limit = dist * (1.0 - scene.shadow_eps)
-    return ~(hit.time < limit)
+    return ~occluded(scene, tables, Ray(pos, wi), limit)
 
 
 # ---------------------------------------------------------------------------
 # Surface-only branch (renderer.rs:286-321)
 
 
-def trace_surface(scene, tables, ray: Ray, keys, max_bounces: int) -> Vec3:
-    """Radiance for a wavefront of camera rays, no participating media."""
+def trace_surface(scene, tables, ray: Ray, keys, max_bounces: int,
+                  return_stats: bool = False):
+    """Radiance for a wavefront of camera rays, no participating media.
+
+    With ``return_stats``, also returns the number of traced ray segments
+    (camera/bounce + shadow) for Mrays/sec accounting.
+    """
     n = ray.origin.shape[0]
     materials = tables["materials"]
+    n_shadow = sum(1 for l in scene.lights if l.kind != "ambient")
 
     def level(carry, b):
         ray, keys_state, alive = carry
@@ -120,7 +125,7 @@ def trace_surface(scene, tables, ray: Ray, keys, max_bounces: int) -> Vec3:
         emit = mat.color_query() * mat.emittance_query()
         emit = where((b == 0) & hitmask, emit, zero)
         nee = sample_lights(scene, tables, mat, pos, hit.normal, wo, sampling.fold(kb, 2))
-        env = scene.env_color(ray.dir)
+        env = scene.env_color(tables, ray.dir)
         contrib = emit + where(hitmask, nee, zero) + where(missmask, env, zero)
 
         wi, pdf, valid = sample_f(mat, hit.normal, wo, sampling.fold(kb, 3))
@@ -131,10 +136,13 @@ def trace_surface(scene, tables, ray: Ray, keys, max_bounces: int) -> Vec3:
         factor = where(bounce_ok, factor, zero)
 
         new_ray = Ray(pos, wi)
-        return (new_ray, keys_state, bounce_ok), (contrib, factor)
+        segments = jnp.sum(alive) + jnp.sum(hitmask) * n_shadow
+        return (new_ray, keys_state, bounce_ok), (contrib, factor, segments)
 
     init = (ray, keys, jnp.ones(n, bool))
-    _, (contribs, factors) = jax.lax.scan(level, init, jnp.arange(max_bounces + 1))
+    _, (contribs, factors, segments) = jax.lax.scan(
+        level, init, jnp.arange(max_bounces + 1)
+    )
 
     # backward clamp fold: L_b = contrib_b + min(factor_b * L_{b+1}, 100)
     def back(L, level_data):
@@ -143,6 +151,8 @@ def trace_surface(scene, tables, ray: Ray, keys, max_bounces: int) -> Vec3:
         return contrib + indirect, None
 
     L0, _ = jax.lax.scan(back, Vec3.zeros(n), (contribs, factors), reverse=True)
+    if return_stats:
+        return L0, jnp.sum(segments)
     return L0
 
 
@@ -150,13 +160,15 @@ def trace_surface(scene, tables, ray: Ray, keys, max_bounces: int) -> Vec3:
 # Media branch (renderer.rs:188-285)
 
 
-def trace_volumetric(scene, tables, ray: Ray, keys, max_depth: int = 32) -> Vec3:
+def trace_volumetric(scene, tables, ray: Ray, keys, max_depth: int = 32,
+                     return_stats: bool = False):
     """Radiance with a participating medium (scene.media[0] only, matching
     the reference's TODO at renderer.rs:189)."""
     n = ray.origin.shape[0]
     materials = tables["materials"]
     medium = scene.media[0]
     zero = Vec3.zeros(n)
+    n_shadow = sum(1 for l in scene.lights if l.kind != "ambient")
 
     def level(carry, b):
         ray, keys_state, throughput, L, alive = carry
@@ -182,7 +194,9 @@ def trace_volumetric(scene, tables, ray: Ray, keys, max_depth: int = 32) -> Vec3
         emit_med = where((b == 0) & medium_event, med_color_c * emm, zero)
         # miss contributes env only when the flight distance reached past
         # the background (renderer.rs:198-205)
-        env = where(escape_event & (d >= BACKGROUND_DIST), scene.env_color(ray.dir), zero)
+        env = where(
+            escape_event & (d >= BACKGROUND_DIST), scene.env_color(tables, ray.dir), zero
+        )
 
         # shared shadow ray: position depends on the event kind
         nee_pos = where(medium_event, collision, surf_pos)
@@ -224,8 +238,11 @@ def trace_volumetric(scene, tables, ray: Ray, keys, max_depth: int = 32) -> Vec3
             where(medium_event, collision, surf_pos),
             where(medium_event, wi_m, wi_s),
         )
-        return (new_ray, keys_state, throughput, L, cont), None
+        segments = jnp.sum(alive) + jnp.sum(medium_event | surface_event) * n_shadow
+        return (new_ray, keys_state, throughput, L, cont), segments
 
     init = (ray, keys, Vec3.ones(n), zero, jnp.ones(n, bool))
-    (_, _, _, L, _), _ = jax.lax.scan(level, init, jnp.arange(max_depth))
+    (_, _, _, L, _), segments = jax.lax.scan(level, init, jnp.arange(max_depth))
+    if return_stats:
+        return L, jnp.sum(segments)
     return L

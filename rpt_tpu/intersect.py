@@ -79,15 +79,47 @@ class TriangleSoA:
         return int(self.material.shape[0])
 
 
+# Packed-row layout constants. TPU-first design notes (measured on v5e):
+# * XLA's gather costs ~the same per ROW whether the row is 1 or 128 floats
+#   (~84 Mrows/s) — so each traversal step fetches exactly ONE node row
+#   (both children's boxes -> ordered near-first descent) and ONE leaf row
+#   (8 triangles).
+# * Extracting single columns from a gathered (n, W) row costs a cross-lane
+#   shuffle EACH — so rows are laid out COMPONENT-MAJOR in blocks that are
+#   consumed as contiguous lane slices, and the triangle math is vectorized
+#   across the 8 slots.
+# * Per-lane stack push/pop uses dense one-hot masking over the (n, DEPTH)
+#   stack instead of scatter/gather (dense VPU ops beat XLA scatters).
+# Shading attributes (normals, material) are fetched once per ray AFTER
+# traversal.
+NODE_ROW = 16
+# node row layout (pairwise interleaved, component-major):
+#   [0:2]=Lmin.x,Rmin.x [2:4]=.y [4:6]=.z [6:8]=Lmax.x,Rmax.x [8:10]=.y
+#   [10:12]=.z [12:14]=Lptr,Rptr [14:16]=Lmeta,Rmeta
+LEAF_TRIS = 8
+LEAF_ROW = 80
+# leaf row layout: 10 component blocks of 8 slots:
+#   [v1.x*8][v1.y*8][v1.z*8][e1.x*8][e1.y*8][e1.z*8][e2.x*8][e2.y*8][e2.z*8][id*8]
+SHADE_ROW = 12  # [n1.xyz, n2.xyz, n3.xyz, material, pad, pad]
+STACK_DEPTH = 48
+# meta codes: 0 = internal child (ptr = node row), >0 = leaf child with
+# `meta` triangles (ptr = leaf row), <0 = empty child.
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class BVHTables:
-    bb_min: Vec3  # (K,)
-    bb_max: Vec3  # (K,)
-    left: jax.Array  # (K,) i32
-    first: jax.Array  # (K,) i32
-    count: jax.Array  # (K,) i32
-    rope: jax.Array  # (K,) i32
+    """Pair-packed BVH (built by `rpt_tpu.accel.bvh.pack_bvh`).
+
+    ``nodes``: (K, NODE_ROW) f32 — indices stored as exact small floats.
+    ``leaves``: (L, LEAF_ROW) f32 — up to 8 triangles as v1/e1/e2, plus
+    their triangle indices (-1 padding).
+    ``shade``: (T, SHADE_ROW) f32 — per-triangle vertex normals + material.
+    """
+
+    nodes: jax.Array
+    leaves: jax.Array
+    shade: jax.Array
 
 
 # ---------------------------------------------------------------------------
@@ -281,85 +313,260 @@ def _aabb_interval(ray: Ray, p_min: Vec3, p_max: Vec3):
 # Triangle BVH traversal
 
 
-def _intersect_tri_slot(tris: TriangleSoA, idx, ray: Ray, t_min, best_t):
-    """Moller-style triangle test matching mesh.rs:50-83 (plane hit +
-    barycentric). Returns (t, normal, mat, ok)."""
-    v1 = take(tris.v1, idx)
-    v2 = take(tris.v2, idx)
-    v3 = take(tris.v3, idx)
-    d0 = v2 - v1
-    d1 = v3 - v1
-    pn = d0.cross(d1).normalize()
-    cosine = pn.dot(ray.dir)
-    t = pn.dot(v1 - ray.origin) / cosine
-    ok = (jnp.abs(cosine) >= 1e-8) & (t >= t_min) & (t < best_t)
-    d2 = ray.at(t) - v1
-    d00 = d0.dot(d0)
-    d01 = d0.dot(d1)
-    d11 = d1.dot(d1)
-    d20 = d2.dot(d0)
-    d21 = d2.dot(d1)
+def _leaf_intersect(leaves, do_leaf, leaf_idx, count, ray, t_min, time, tri, bu, bv, bw):
+    """Gather one leaf row (masked) and test its 8 triangles, vectorized
+    across the slot axis.
+
+    Same algebra as mesh.rs:50-83 (plane hit + barycentric) with
+    d0 = e1 = v2-v1, d1 = e2 = v3-v1, on (n, 8) arrays; the per-lane best
+    slot is selected with a one-hot reduction.
+    """
+    leaf = jnp.take(leaves, jnp.where(do_leaf, leaf_idx, 0), axis=0)  # (n, 80)
+
+    def block(c):  # contiguous lane slice -> (n, 8)
+        return leaf[:, 8 * c : 8 * c + 8]
+
+    def vec(c0):
+        return Vec3(block(c0), block(c0 + 1), block(c0 + 2))
+
+    v1, e1, e2 = vec(0), vec(3), vec(6)
+    tri_id = block(9).astype(jnp.int32)
+
+    def bcast(x):  # (n,) -> (n, 1)
+        return x[:, None]
+
+    o = Vec3(bcast(ray.origin.x), bcast(ray.origin.y), bcast(ray.origin.z))
+    d = Vec3(bcast(ray.dir.x), bcast(ray.dir.y), bcast(ray.dir.z))
+
+    pn = e1.cross(e2).normalize()
+    cosine = pn.dot(d)
+    t = pn.dot(v1 - o) / cosine
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+    ok = (
+        (jnp.abs(cosine) >= 1e-8)
+        & (t >= t_min)
+        & (t < bcast(time))
+        & (tri_id >= 0)
+        & (slot_ids < bcast(count))
+        & bcast(do_leaf)
+    )
+    p = o + d * t
+    d2 = p - v1
+    d00 = e1.dot(e1)
+    d01 = e1.dot(e2)
+    d11 = e2.dot(e2)
+    d20 = d2.dot(e1)
+    d21 = d2.dot(e2)
     denom = d00 * d11 - d01 * d01
     v = (d11 * d20 - d01 * d21) / denom
     w = (d00 * d21 - d01 * d20) / denom
     u = 1.0 - v - w
     ok &= (u >= 0.0) & (v >= 0.0) & (w >= 0.0)
-    normal = (take(tris.n1, idx) * u + take(tris.n2, idx) * v + take(tris.n3, idx) * w).normalize()
-    mat = jnp.take(tris.material, idx)
-    return t, normal, mat, ok
+
+    t_masked = jnp.where(ok, t, INF)
+    best = jnp.min(t_masked, axis=1)
+    sel = t_masked == best[:, None]
+    # break ties toward the lowest slot
+    sel &= jnp.cumsum(sel, axis=1) == 1
+
+    def pick(x):
+        return jnp.sum(jnp.where(sel, x, 0), axis=1)
+
+    better = best < time
+    time = jnp.where(better, best, time)
+    tri = jnp.where(better, pick(tri_id), tri)
+    bu = jnp.where(better, pick(u), bu)
+    bv = jnp.where(better, pick(v), bv)
+    bw = jnp.where(better, pick(w), bw)
+    return time, tri, bu, bv, bw
 
 
-def bvh_closest_hit(
-    bvh: BVHTables, tris: TriangleSoA, ray: Ray, t_min, best: Hit, leaf_size: int = 4
-) -> Hit:
-    """Stackless rope traversal: every ray carries a single node cursor.
+COMPACT_AFTER = 40  # full-width steps before compacting the survivor tail
 
-    AABB hit on an internal node -> descend to the left child; miss, or a
-    finished leaf -> follow the rope (miss link). Replaces the recursive
-    front-to-back kd descent of kdtree.rs:154-226 with a fixed-state loop
-    that the whole wavefront executes in lock-step.
+
+def _traverse(bvh: BVHTables, ray: Ray, t_min, limit, best_time, any_hit: bool):
+    """Ordered short-stack traversal over pair-packed nodes, with survivor
+    compaction.
+
+    Each step fetches ONE node row containing both children's boxes, tests
+    both, descends into the nearer hit child and pushes the farther onto a
+    per-ray stack. This is the wavefront analog of the reference's
+    front-to-back kd descent with t-based pruning (kdtree.rs:154-226).
+
+    The loop cost is set by the SLOWEST lane (~7x the mean step count), so
+    after ``COMPACT_AFTER`` full-width steps the surviving ~2-4% of lanes
+    are sorted to the front and the loop continues at 1/8 width; an outer
+    loop repeats the compaction until every lane finishes (exact for any
+    survivor count).
+
+    Returns (time, tri_id, u, v, w). ``limit`` bounds useful hits (shadow
+    distance or +inf); with ``any_hit`` lanes stop as soon as any hit
+    < limit is found (occlusion queries don't need the closest).
     """
     n = ray.origin.shape[0] if ray.origin.shape else ()
     inv_dir = Vec3.ones(ray.dir.shape) / ray.dir
+    nodes, leaves = bvh.nodes, bvh.leaves
 
-    def cond(state):
-        cur, _ = state
-        return jnp.any(cur >= 0)
+    def make_body(ray, inv_dir, limit):
+        width = ray.origin.shape[0]
+        depth_iota = jax.lax.broadcasted_iota(jnp.int32, (width, STACK_DEPTH), 1)
+        return lambda state: _traverse_step(
+            state, ray, inv_dir, limit, nodes, leaves, t_min, any_hit, depth_iota
+        )
 
-    def body(state):
-        cur, best = state
-        active = cur >= 0
-        node = jnp.maximum(cur, 0)
-        bmin = take(bvh.bb_min, node)
-        bmax = take(bvh.bb_max, node)
-        enter, exit_ = _slab_interval(ray.origin, inv_dir, bmin, bmax)
-        box_hit = (enter <= exit_) & (exit_ >= t_min) & (enter <= best.time)
+    body = make_body(ray, inv_dir, limit)
+    z = jnp.zeros(n, DTYPE)
+    state = (
+        jnp.zeros(n, jnp.int32),
+        jnp.zeros(n, jnp.int32),
+        jnp.zeros((n, STACK_DEPTH), jnp.int32),
+        best_time,
+        jnp.full(n, -1, jnp.int32),
+        z,
+        z,
+        z,
+    )
 
-        count = jnp.take(bvh.count, node)
-        first = jnp.take(bvh.first, node)
-        is_leaf = count > 0
-        do_leaf = active & box_hit & is_leaf
+    if n < 4096:
+        state = jax.lax.while_loop(lambda s: jnp.any(s[0] >= 0), body, state)
+        return state[3], state[4], state[5], state[6], state[7]
 
-        time, normal, mat = best.time, best.normal, best.material
-        for slot in range(leaf_size):
-            idx = jnp.minimum(first + slot, tris.n - 1)
-            t, nrm, m, ok = _intersect_tri_slot(tris, idx, ray, t_min, time)
-            upd = do_leaf & (slot < count) & ok
-            time = jnp.where(upd, t, time)
-            normal = where(upd, nrm, normal)
-            mat = jnp.where(upd, m, mat)
-        new_best = Hit(time, normal, mat)
+    # phase 1: full width, bounded step count
+    def cond1(carry):
+        state, step = carry
+        return jnp.any(state[0] >= 0) & (step < COMPACT_AFTER)
 
-        descend = active & box_hit & ~is_leaf
-        nxt = jnp.where(descend, jnp.take(bvh.left, node), jnp.take(bvh.rope, node))
-        nxt = jnp.where(active, nxt, cur)
-        return nxt, new_best
+    state, _ = jax.lax.while_loop(
+        cond1, lambda c: (body(c[0]), c[1] + 1), (state, jnp.int32(0))
+    )
 
-    if tris.n == 0:
-        return best
-    cur0 = jnp.zeros(n, jnp.int32)
-    _, best = jax.lax.while_loop(cond, body, (cur0, best))
-    return best
+    # phase 2: compact survivors to 1/8 width; repeat until done
+    w2 = max(2048, n // 8)
+
+    def outer_cond(state):
+        return jnp.any(state[0] >= 0)
+
+    def outer_body(state):
+        order = jnp.argsort(state[0] < 0)  # active lanes first (stable)
+        sel = order[:w2]
+        sub_ray = Ray(take(ray.origin, sel), take(ray.dir, sel))
+        sub_inv = take(inv_dir, sel)
+        sub_limit = limit[sel] if jnp.ndim(limit) else limit
+        sub_state = tuple(a[sel] for a in state)
+        sub_body = make_body(sub_ray, sub_inv, sub_limit)
+        sub_state = jax.lax.while_loop(
+            lambda s: jnp.any(s[0] >= 0), sub_body, sub_state
+        )
+        return tuple(a.at[sel].set(b) for a, b in zip(state, sub_state))
+
+    state = jax.lax.while_loop(outer_cond, outer_body, state)
+    return state[3], state[4], state[5], state[6], state[7]
+
+
+def _traverse_step(state, ray, inv_dir, limit, nodes, leaves, t_min, any_hit, depth_iota):
+    n = ray.origin.shape[0]
+    cur, sp, stack, time, tri, bu, bv, bw = state
+    active = cur >= 0
+    row = jnp.take(nodes, jnp.maximum(cur, 0), axis=0)  # ONE gather
+
+    def pair(c):  # contiguous (n, 2) lane slice: [L, R] of one field
+        return row[:, 2 * c : 2 * c + 2]
+
+    pmin = (pair(0), pair(1), pair(2))
+    pmax = (pair(3), pair(4), pair(5))
+    ptr = pair(6).astype(jnp.int32)
+    meta = pair(7).astype(jnp.int32)
+
+    # slab test on (n, 2) arrays: both children at once
+    cutoff = jnp.minimum(time, limit)
+    enter = jnp.full((n, 2), -INF, DTYPE)
+    exit_ = jnp.full((n, 2), INF, DTYPE)
+    for axis, (o, inv) in enumerate(
+        [(ray.origin.x, inv_dir.x), (ray.origin.y, inv_dir.y), (ray.origin.z, inv_dir.z)]
+    ):
+        t1 = (pmin[axis] - o[:, None]) * inv[:, None]
+        t2 = (pmax[axis] - o[:, None]) * inv[:, None]
+        lo = jnp.minimum(t1, t2)
+        hi = jnp.maximum(t1, t2)
+        enter = jnp.maximum(enter, jnp.where(jnp.isnan(lo), -INF, lo))
+        exit_ = jnp.minimum(exit_, jnp.where(jnp.isnan(hi), INF, hi))
+    hit2 = (
+        (enter <= exit_)
+        & (exit_ >= t_min)
+        & (enter <= cutoff[:, None])
+        & (meta >= 0)
+        & active[:, None]
+    )
+
+    l_hit, r_hit = hit2[:, 0], hit2[:, 1]
+    l_enter, r_enter = enter[:, 0], enter[:, 1]
+    lptr, rptr = ptr[:, 0], ptr[:, 1]
+    lmeta, rmeta = meta[:, 0], meta[:, 1]
+
+    # leaf children: one masked leaf-row gather each
+    time, tri, bu, bv, bw = _leaf_intersect(
+        leaves, l_hit & (lmeta > 0), lptr, lmeta, ray, t_min, time, tri, bu, bv, bw
+    )
+    time, tri, bu, bv, bw = _leaf_intersect(
+        leaves, r_hit & (rmeta > 0), rptr, rmeta, ray, t_min, time, tri, bu, bv, bw
+    )
+
+    # internal children: ordered descent + push the farther one
+    want_l = l_hit & (lmeta == 0)
+    want_r = r_hit & (rmeta == 0)
+    both = want_l & want_r
+    l_near = l_enter <= r_enter
+    first = jnp.where(want_l & (~want_r | l_near), lptr, rptr)
+    second = jnp.where(l_near, rptr, lptr)
+
+    # dense one-hot stack ops (cheaper than XLA scatter/gather on TPU)
+    sp_clamped = jnp.minimum(sp, STACK_DEPTH - 1)
+    at_sp = depth_iota == sp_clamped[:, None]
+    stack = jnp.where(at_sp & both[:, None], second[:, None], stack)
+    sp_after_push = sp + both
+
+    descend = want_l | want_r
+    do_pop = active & ~descend
+    at_top = depth_iota == (sp_after_push - 1)[:, None]
+    popped = jnp.sum(jnp.where(at_top, stack, 0), axis=1)
+    new_cur = jnp.where(
+        ~active, cur, jnp.where(descend, first, jnp.where(sp_after_push > 0, popped, -1))
+    )
+    new_sp = jnp.where(do_pop, jnp.maximum(sp_after_push - 1, 0), sp_after_push)
+    if any_hit:
+        new_cur = jnp.where(time < limit, -1, new_cur)
+    return new_cur, new_sp, stack, time, tri, bu, bv, bw
+
+
+def bvh_closest_hit(bvh: BVHTables, ray: Ray, t_min, best: Hit) -> Hit:
+    """Closest-hit query via the ordered short-stack traversal. Shading
+    attributes for the winning triangle are fetched once after the loop."""
+    n = ray.origin.shape[0] if ray.origin.shape else ()
+    time, tri, u, v, w = _traverse(
+        bvh, ray, t_min, jnp.full(n, INF, DTYPE), best.time, any_hit=False
+    )
+    improved = time < best.time
+    srow = jnp.take(bvh.shade, jnp.maximum(tri, 0), axis=0)
+    n1 = Vec3(srow[:, 0], srow[:, 1], srow[:, 2])
+    n2 = Vec3(srow[:, 3], srow[:, 4], srow[:, 5])
+    n3 = Vec3(srow[:, 6], srow[:, 7], srow[:, 8])
+    normal = (n1 * u + n2 * v + n3 * w).normalize()
+    mat = srow[:, 9].astype(jnp.int32)
+    return Hit(
+        jnp.where(improved, time, best.time),
+        where(improved, normal, best.normal),
+        jnp.where(improved, mat, best.material),
+    )
+
+
+def bvh_any_hit(bvh: BVHTables, ray: Ray, t_min, limit) -> jax.Array:
+    """True where some triangle lies at t in [t_min, limit) — early-exit
+    occlusion query for shadow rays."""
+    n = ray.origin.shape[0] if ray.origin.shape else ()
+    time, _, _, _, _ = _traverse(
+        bvh, ray, t_min, limit, jnp.full(n, INF, DTYPE), any_hit=True
+    )
+    return time < limit
 
 
 # ---------------------------------------------------------------------------
@@ -385,5 +592,26 @@ def closest_hit(scene, tables, ray: Ray, t_min=None) -> Hit:
     if scene.n_monomials:
         best = intersect_monomials(tables["monomials"], ray, t_min, best)
     if scene.n_tris:
-        best = bvh_closest_hit(tables["bvh"], tables["tris"], ray, t_min, best)
+        best = bvh_closest_hit(tables["bvh"], ray, t_min, best)
     return best
+
+
+def occluded(scene, tables, ray: Ray, limit, t_min=None) -> jax.Array:
+    """True where any geometry lies at t in [t_min, limit) along the ray —
+    the shadow query. Analytic prims reuse the closest-hit testers (cheap);
+    the triangle BVH uses the early-exit any-hit traversal."""
+    if t_min is None:
+        t_min = scene.t_min
+    best = Hit.none(ray.origin.shape)
+    if scene.n_spheres:
+        best = intersect_spheres(tables["spheres"], ray, t_min, best)
+    if scene.n_cubes:
+        best = intersect_cubes(tables["cubes"], ray, t_min, best)
+    if scene.n_planes:
+        best = intersect_planes(tables["planes"], ray, t_min, best)
+    if scene.n_monomials:
+        best = intersect_monomials(tables["monomials"], ray, t_min, best)
+    occ = best.time < limit
+    if scene.n_tris:
+        occ = occ | bvh_any_hit(tables["bvh"], ray, t_min, limit)
+    return occ

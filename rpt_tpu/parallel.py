@@ -1,0 +1,99 @@
+"""Multi-chip execution: pixel/sample sharding over a device mesh.
+
+The reference's entire parallelism model is rayon work-stealing over image
+rows and photon indices (`renderer.rs:159-169`, `photon.rs:663-674`) on one
+shared-memory host. The TPU-native equivalent (SURVEY.md §2.3, §5.8):
+
+* **dp axis** — pixel blocks sharded across chips (the analog of row
+  parallelism). Scene tables are replicated (they are small: even the
+  dragon's triangles are ~60 MB).
+* **sp axis** — samples-per-pixel sharded across chips; the per-pixel frame
+  accumulation is a ``psum`` over 'sp' riding the ICI.
+* Photon shooting shards the photon index over the full mesh and
+  ``all_gather``s deposited photons (see `rpt_tpu.integrators.photon`).
+
+Everything is expressed with ``shard_map`` over a ``jax.sharding.Mesh`` —
+XLA inserts the collectives.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import sampling
+from .dtypes import DTYPE
+from .integrators.path import trace_surface, trace_volumetric
+
+
+def make_mesh(n_devices: int | None = None, sp: int = 1, devices=None) -> Mesh:
+    """Build a (dp, sp) mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices]).reshape(n_devices // sp, sp)
+    return Mesh(devices, ("dp", "sp"))
+
+
+def render_sharded(scene, camera, width: int, height: int, num_samples: int,
+                   max_bounces: int, mesh: Mesh, key, media_max_depth: int = 32):
+    """Render with pixels sharded over 'dp' and samples over 'sp'.
+
+    Returns the (H*W, 3) radiance *sum* over ``num_samples`` (host numpy).
+    Pixel count is padded to a multiple of dp; samples must divide by sp.
+    """
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    assert num_samples % sp == 0, "num_samples must divide the sp axis"
+    n_pix = width * height
+    pad = (-n_pix) % dp
+    n_padded = n_pix + pad
+    dim = float(max(width, height))
+
+    xs = np.arange(n_padded, dtype=np.int64)
+    px = (xs % width).astype(np.float64)
+    py = (xs // width).astype(np.float64)
+    xn = jnp.asarray((2.0 * px + 1.0 - width) / dim, DTYPE)
+    yn = jnp.asarray((2.0 * (height - py) - 1.0 - height) / dim, DTYPE)
+    pix_ids = jnp.asarray(xs, jnp.int32)
+
+    local_samples = num_samples // sp
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp"), P(), P()),
+        out_specs=P("dp"),
+        # the integrator scans mix dp-varying pixel state with sp-varying
+        # sample keys; skip the varying-manual-axes bookkeeping
+        check_vma=False,
+    )
+    def launch(xn, yn, pix_ids, tables, key):
+        sp_idx = jax.lax.axis_index("sp")
+        pix_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(pix_ids)
+
+        def one_sample(acc, s):
+            keys = sampling.fold(pix_keys, sp_idx * local_samples + s)
+            jx = sampling.uniform(sampling.fold(keys, 1), -1.0 / dim, 1.0 / dim)
+            jy = sampling.uniform(sampling.fold(keys, 2), -1.0 / dim, 1.0 / dim)
+            ray = camera.cast_ray(xn + jx, yn + jy, sampling.fold(keys, 3))
+            tkeys = sampling.fold(keys, 4)
+            if scene.media:
+                color = trace_volumetric(scene, tables, ray, tkeys, media_max_depth)
+            else:
+                color = trace_surface(scene, tables, ray, tkeys, max_bounces)
+            return acc + color.to_array().astype(jnp.float32), None
+
+        acc0 = jnp.zeros((xn.shape[0], 3), jnp.float32)
+        total, _ = jax.lax.scan(one_sample, acc0, jnp.arange(local_samples))
+        # frame accumulation across the sample axis rides the ICI
+        return jax.lax.psum(total, "sp")
+
+    out = launch(xn, yn, pix_ids, scene.tables, key)
+    return np.asarray(out)[:n_pix]

@@ -20,10 +20,10 @@ from dataclasses import dataclass, field
 import jax.numpy as jnp
 import numpy as np
 
-from .accel.bvh import build_bvh
+from .accel.bvh import build_bvh, pack_bvh
 from .dtypes import DTYPE
 from .environment import ColorEnvironment, Hdri
-from .intersect import BVHTables, PlaneSet, PrimSet, TriangleSoA
+from .intersect import BVHTables, PlaneSet, PrimSet
 from .lights import (
     AmbientLight,
     CompiledLight,
@@ -111,8 +111,8 @@ class CompiledScene:
     scale: float  # scene diameter estimate
     tables: dict = field(compare=False, repr=False)
 
-    def env_color(self, direction) -> Vec3:
-        return self.environment.get_color(self.tables["env"], direction)
+    def env_color(self, tables, direction) -> Vec3:
+        return self.environment.get_color(tables["env"], direction)
 
 
 def _prim_set(entries) -> PrimSet:
@@ -199,27 +199,12 @@ def compile_scene(scene: Scene) -> CompiledScene:
         n = np.concatenate(tri_n)
         m = np.concatenate(tri_m)
         n_tris = len(v)
-        bb_min = v.min(1)
-        bb_max = v.max(1)
-        bvh = build_bvh(bb_min, bb_max)
-        perm = bvh.perm
-        v, n, m = v[perm], n[perm], m[perm]
-        tables["tris"] = TriangleSoA(
-            v1=Vec3.from_array(v[:, 0]),
-            v2=Vec3.from_array(v[:, 1]),
-            v3=Vec3.from_array(v[:, 2]),
-            n1=Vec3.from_array(n[:, 0]),
-            n2=Vec3.from_array(n[:, 1]),
-            n3=Vec3.from_array(n[:, 2]),
-            material=jnp.asarray(m),
-        )
+        bvh = build_bvh(v.min(1), v.max(1))
+        nodes, leaves, shade = pack_bvh(bvh, v, n, m)
         tables["bvh"] = BVHTables(
-            bb_min=Vec3.from_array(bvh.bb_min),
-            bb_max=Vec3.from_array(bvh.bb_max),
-            left=jnp.asarray(bvh.left),
-            first=jnp.asarray(bvh.first),
-            count=jnp.asarray(bvh.count),
-            rope=jnp.asarray(bvh.rope),
+            nodes=jnp.asarray(nodes),
+            leaves=jnp.asarray(leaves),
+            shade=jnp.asarray(shade),
         )
 
     compiled_lights = []

@@ -1,0 +1,61 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import math
+
+import jax
+import numpy as np
+
+import rpt_tpu as rpt
+from rpt_tpu.parallel import make_mesh, render_sharded
+
+
+def _sphere_scene():
+    scene = rpt.Scene()
+    scene.add(rpt.Object(rpt.sphere()))
+    scene.add(
+        rpt.Object(rpt.plane((0, 1, 0), -1.0)).material(
+            rpt.Material.diffuse(rpt.hex_color(0xAAAAAA))
+        )
+    )
+    scene.add(
+        rpt.Light.Object(
+            rpt.Object(rpt.sphere().scale((2, 2, 2)).translate((0, 12, 0))).material(
+                rpt.Material.light(rpt.hex_color(0xFFFFFF), 40.0)
+            )
+        )
+    )
+    return scene
+
+
+def test_render_sharded_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 virtual devices"
+    scene = _sphere_scene().compile()
+    camera = rpt.Camera.look_at((-2.5, 4, 6.5), (0, -0.25, 0), (0, 1, 0), math.pi / 4)
+    key = jax.random.key(7)
+
+    w, h, spp = 40, 24, 4
+    mesh1 = make_mesh(1, sp=1)
+    out1 = render_sharded(scene, camera, w, h, spp, 2, mesh1, key)
+    mesh8 = make_mesh(8, sp=2)
+    out8 = render_sharded(scene, camera, w, h, spp, 2, mesh8, key)
+
+    # different sample-index partitions use different RNG streams, so images
+    # agree statistically, not bitwise: compare means
+    m1, m8 = out1.mean(), out8.mean()
+    assert np.isfinite(out8).all()
+    assert abs(m1 - m8) / max(m1, 1e-9) < 0.15
+
+    # same mesh shape twice must be bit-identical (deterministic RNG)
+    out8b = render_sharded(scene, camera, w, h, spp, 2, mesh8, key)
+    assert np.array_equal(out8, out8b)
+
+
+def test_dp_only_mesh_bitwise_matches_single():
+    """Pixel sharding alone must not change any sampled value."""
+    scene = _sphere_scene().compile()
+    camera = rpt.Camera.look_at((-2.5, 4, 6.5), (0, -0.25, 0), (0, 1, 0), math.pi / 4)
+    key = jax.random.key(3)
+    w, h, spp = 32, 16, 2
+    out1 = render_sharded(scene, camera, w, h, spp, 2, make_mesh(1, sp=1), key)
+    out4 = render_sharded(scene, camera, w, h, spp, 2, make_mesh(4, sp=1), key)
+    assert np.allclose(out1, out4, atol=1e-5)
