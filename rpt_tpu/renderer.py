@@ -155,6 +155,57 @@ class Renderer:
 
     _sample_index: int = 0
 
+    # ------------------------------------------------------------------
+    # Photon mapping (photon.rs:642-720)
+
+    def photon_map_render(self, photon_count: int) -> np.ndarray:
+        """Point-photon / point-query photon mapping (photon.rs:650-652)."""
+        return self.photon_render(photon_count, "photon_map")
+
+    def photon_point_query_beam_render(self, photon_count: int) -> np.ndarray:
+        """Point-photon / beam-query (photon.rs:642-644)."""
+        return self.photon_render(photon_count, "point_beam")
+
+    def photon_beam_query_beam_render(self, photon_count: int) -> np.ndarray:
+        """Beam-photon / beam-query (photon.rs:646-648)."""
+        return self.photon_render(photon_count, "beam_beam")
+
+    def photon_render(self, photon_count: int, kind: str,
+                      occlusion_check: bool = True) -> np.ndarray:
+        from .integrators import photon as ph
+
+        scene = self.compiled
+        key = jax.random.key(self.seed_)
+        print("Shooting photons")
+        surface, volume = ph.shoot_photons(
+            scene, scene.tables, jax.random.fold_in(key, 1), photon_count,
+            self.watts_, kind,
+        )
+        print(f"PhotonList(surface: {len(surface)}, volume: {len(volume)})")
+        for name, rows in (("surface", surface), ("vol", volume)):
+            avg = float(np.linalg.norm(rows[:, 6:9], axis=1).mean()) if len(rows) else float("nan")
+            print(f"{name} avg: {avg}")
+
+        print("Building kdtree")
+        rng = np.random.default_rng(self.seed_ + 17)
+        pmap = ph.build_photon_map(
+            scene, scene.tables, surface, volume, kind,
+            self.gather_size_, self.gather_size_volume_, rng,
+        )
+
+        print("Tracing rays")
+        fn = _photon_launch(
+            scene, self.camera, self.width_, self.height_, kind,
+            self.gather_size_, self.gather_size_volume_, self.num_samples_,
+            occlusion_check,
+        )
+        out = fn(scene.tables, pmap, jax.random.fold_in(key, 2))
+        mean = np.asarray(out, np.float64) / self.num_samples_ * (2.0**self.exposure_value_)
+        buffer = Buffer(self.width_, self.height_, self.filter_)
+        buffer.add_samples(mean.reshape(self.height_, self.width_, 3))
+        self._last_buffer = buffer
+        return buffer.image()
+
 
 class RayCounter:
     """Rays/sec instrumentation (the reference has none; SURVEY §5.1)."""
@@ -179,14 +230,13 @@ class RayCounter:
         return self.rays / self.seconds / 1e6 if self.seconds else 0.0
 
 
-@functools.lru_cache(maxsize=16)
-def _render_launch(scene: CompiledScene, camera: Camera, width: int, height: int,
-                   max_bounces: int, media_max_depth: int, n_samples: int):
-    """Build + jit a render launch: ``n_samples`` paths per pixel, summed on
-    device (one ``lax.scan`` over samples; one wavefront per sample).
+def build_launch(scene: CompiledScene, camera: Camera, width: int, height: int,
+                 max_bounces: int, media_max_depth: int, n_samples: int):
+    """Build a (jittable, un-jitted) render launch: ``n_samples`` paths per
+    pixel, summed on device (one ``lax.scan`` over samples; one wavefront
+    per sample).
 
     Returns fn(tables, key, sample_index0) -> (H*W, 3) radiance sum.
-    Cached per (scene structure, camera, size, bounces, samples).
     """
     n_pix = width * height
     dim = float(max(width, height))
@@ -219,4 +269,51 @@ def _render_launch(scene: CompiledScene, camera: Camera, width: int, height: int
         total, _ = jax.lax.scan(one_sample, acc0, jnp.arange(n_samples))
         return total
 
+    return launch
+
+
+def _photon_launch(scene: CompiledScene, camera: Camera, width: int, height: int,
+                   kind: str, gather_size: int, gather_size_volume: int,
+                   n_samples: int, occlusion_check: bool):
+    """Photon-map camera pass (photon.rs:950-985): one estimate_indirect per
+    pixel sample (no camera recursion). Returns a jitted
+    fn(tables, pmap, key) -> (H*W, 3) radiance sum."""
+    from .integrators.photon import estimate_indirect
+
+    n_pix = width * height
+    dim = float(max(width, height))
+    xs = np.arange(n_pix, dtype=np.int64)
+    xn_np = (2.0 * (xs % width) + 1.0 - width) / dim
+    yn_np = (2.0 * (height - xs // width) - 1.0 - height) / dim
+
+    def launch(tables, pmap, key):
+        xn = jnp.asarray(xn_np, DTYPE)
+        yn = jnp.asarray(yn_np, DTYPE)
+        pix_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_pix))
+
+        def one_sample(acc, s):
+            keys = sampling.fold(pix_keys, s)
+            jx = sampling.uniform(sampling.fold(keys, 1), -1.0 / dim, 1.0 / dim)
+            jy = sampling.uniform(sampling.fold(keys, 2), -1.0 / dim, 1.0 / dim)
+            ray = camera.cast_ray(xn + jx, yn + jy, sampling.fold(keys, 3))
+            color = estimate_indirect(
+                scene, tables, pmap, ray, sampling.fold(keys, 4),
+                gather_size, gather_size_volume, occlusion_check,
+            )
+            return acc + color.to_array().astype(jnp.float32), None
+
+        acc0 = jnp.zeros((n_pix, 3), jnp.float32)
+        total, _ = jax.lax.scan(one_sample, acc0, jnp.arange(n_samples))
+        return total
+
     return jax.jit(launch)
+
+
+@functools.lru_cache(maxsize=16)
+def _render_launch(scene: CompiledScene, camera: Camera, width: int, height: int,
+                   max_bounces: int, media_max_depth: int, n_samples: int):
+    """Jitted `build_launch`, cached per (scene structure, camera, size,
+    bounces, samples)."""
+    return jax.jit(
+        build_launch(scene, camera, width, height, max_bounces, media_max_depth, n_samples)
+    )
