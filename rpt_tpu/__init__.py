@@ -27,6 +27,8 @@ from .renderer import Renderer  # noqa: F401
 from .scene import CompiledScene, Object, Scene  # noqa: F401
 from .shapes import (  # noqa: F401
     Cube,
+    KdTree,
+    ShapeGroup,
     Mesh,
     MonomialSurface,
     Plane,

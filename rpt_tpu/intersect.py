@@ -127,16 +127,29 @@ class BVHTables:
 # caller merges with `closer`.
 
 
-def _local_hit_to_world(prims: PrimSet, i: int, local_n: Vec3, t, ok) -> Hit:
+def _local_hit_to_world(prims: PrimSet, i, local_n: Vec3, t, ok) -> Hit:
     nmat = prims.normal_mat[i]
     world_n = nmat.apply(local_n).normalize()
     time = jnp.where(ok, t, INF)
-    return Hit(time, world_n, jnp.full(jnp.shape(t), prims.material[i], jnp.int32))
+    mat = jnp.broadcast_to(prims.material[i], jnp.shape(t)).astype(jnp.int32)
+    return Hit(time, world_n, mat)
+
+
+def _foreach_prim(n: int, body_hit, best: Hit) -> Hit:
+    """Merge per-prim hits. Few prims unroll into the graph; many prims run
+    as a fori_loop with traced prim index (keeps HLO size bounded for
+    scenes like fractal_spheres' ~10^3 analytic spheres)."""
+    if n <= 8:
+        for i in range(n):
+            best = closer(best, body_hit(i))
+        return best
+    return jax.lax.fori_loop(0, n, lambda i, b: closer(b, body_hit(i)), best)
 
 
 def intersect_spheres(prims: PrimSet, ray: Ray, t_min, best: Hit) -> Hit:
     """Unit sphere quadratic (shape/sphere.rs:14-46), per transformed prim."""
-    for i in range(prims.n):
+
+    def body(i):
         local = ray.transform(prims.world_to_obj[i])
         a = local.dir.length_squared()
         b = local.dir.dot(local.origin)
@@ -148,14 +161,16 @@ def intersect_spheres(prims: PrimSet, ray: Ray, t_min, best: Hit) -> Hit:
         t = jnp.where(t_minus < t_min, t_plus, t_minus)
         ok = (disc >= 0.0) & (t >= t_min)
         local_n = local.at(t)  # = normal of the unit sphere
-        best = closer(best, _local_hit_to_world(prims, i, local_n.normalize(), t, ok))
-    return best
+        return _local_hit_to_world(prims, i, local_n.normalize(), t, ok)
+
+    return _foreach_prim(prims.n, body, best)
 
 
 def intersect_cubes(prims: PrimSet, ray: Ray, t_min, best: Hit) -> Hit:
     """Unit-cube slab test with per-axis entry/exit normals
     (shape/cube.rs:22-74)."""
-    for i in range(prims.n):
+
+    def body(i):
         local = ray.transform(prims.world_to_obj[i])
 
         def interval(o, d):
@@ -192,35 +207,33 @@ def intersect_cubes(prims: PrimSet, ray: Ray, t_min, best: Hit) -> Hit:
         inside = start < t_min
         t = jnp.where(inside, end, start)
         local_n = where(inside, end_n, start_n)
-        best = closer(best, _local_hit_to_world(prims, i, local_n, t, ok))
-    return best
+        return _local_hit_to_world(prims, i, local_n, t, ok)
+
+    return _foreach_prim(prims.n, body, best)
 
 
 def intersect_planes(planes: PlaneSet, ray: Ray, t_min, best: Hit) -> Hit:
     """x . normal = value (shape/plane.rs:17-32); normal flipped against the
     ray."""
-    for i in range(planes.n):
+
+    def body(i):
         n = planes.normal[i].broadcast_to(ray.origin.shape)
         cosine = n.dot(ray.dir)
         t = (planes.value[i] - n.dot(ray.origin)) / cosine
         ok = (jnp.abs(cosine) >= 1e-8) & (t >= t_min)
         normal = -n.normalize() * jnp.sign(cosine)
-        best = closer(
-            best,
-            Hit(
-                jnp.where(ok, t, INF),
-                normal,
-                jnp.full(jnp.shape(t), planes.material[i], jnp.int32),
-            ),
-        )
-    return best
+        mat = jnp.broadcast_to(planes.material[i], jnp.shape(t)).astype(jnp.int32)
+        return Hit(jnp.where(ok, t, INF), normal, mat)
+
+    return _foreach_prim(planes.n, body, best)
 
 
 def intersect_monomials(prims: PrimSet, ray: Ray, t_min, best: Hit) -> Hit:
     """Newton + 60-step bisection for y = h (x^2+z^2)^2
     (shape/monomial_surface.rs:22-107) — already fixed-iteration, so it maps
     to TPU directly; vectorized with masks."""
-    for i in range(prims.n):
+
+    def body(i):
         local = ray.transform(prims.world_to_obj[i])
         h = prims.param[i]
         o, d = local.origin, local.dir
@@ -286,8 +299,9 @@ def intersect_monomials(prims: PrimSet, ray: Ray, t_min, best: Hit) -> Hit:
         local_n = local_n.normalize()
         flip = local_n.dot(local.dir) > 0.0
         local_n = where(flip, -local_n, local_n)
-        best = closer(best, _local_hit_to_world(prims, i, local_n, r, ok))
-    return best
+        return _local_hit_to_world(prims, i, local_n, r, ok)
+
+    return _foreach_prim(prims.n, body, best)
 
 
 def _slab_interval(o: Vec3, inv: Vec3, p_min: Vec3, p_max: Vec3):

@@ -38,6 +38,7 @@ from .medium import Medium
 from .shapes import (
     Cube,
     Mesh,
+    ShapeGroup,
     MonomialSurface,
     Plane,
     Sphere,
@@ -145,9 +146,20 @@ def compile_scene(scene: Scene) -> CompiledScene:
     tri_v, tri_n, tri_m = [], [], []
     points_min, points_max = [], []
 
+    flat_objects = []
     for obj in scene.objects:
         base, matrix = unwrap(obj.shape)
-        mid = mat_id(obj._material)
+        if isinstance(base, ShapeGroup):
+            # flatten group members, composing the group transform
+            for member in base.shapes:
+                mbase, mmatrix = unwrap(member)
+                flat_objects.append((mbase, matrix @ mmatrix, obj._material, member))
+        else:
+            flat_objects.append((base, matrix, obj._material, obj.shape))
+
+    for base, matrix, material, original in flat_objects:
+        mid = mat_id(material)
+        is_transformed = not np.allclose(matrix, np.eye(4))
         if isinstance(base, Sphere):
             spheres.append((matrix, mid, 0.0))
             _track_bbox(points_min, points_max, base.bounding_box(), matrix)
@@ -168,7 +180,7 @@ def compile_scene(scene: Scene) -> CompiledScene:
             v_new = float(base.value + n_new @ m4[:3, 3])
             planes.append((n_new, v_new, mid))
         elif isinstance(base, Mesh):
-            mesh = transform_mesh(base, matrix) if isinstance(obj.shape, Transformed) else base
+            mesh = transform_mesh(base, matrix) if is_transformed else base
             tri_v.append(mesh.vertices)
             tri_n.append(mesh.normals)
             tri_m.append(np.full(len(mesh), mid, np.int32))

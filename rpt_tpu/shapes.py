@@ -189,6 +189,21 @@ def unwrap(shape) -> tuple[object, np.ndarray]:
     return shape, np.eye(4)
 
 
+class ShapeGroup(Transformable):
+    """A collection of shapes treated as one object (the analog of the
+    reference's ``KdTree::new(Vec<Box<dyn Bounded>>)`` used e.g. by
+    `examples/fractal_spheres.rs:45-48`). The scene compiler flattens
+    members into their per-type batches; acceleration is automatic."""
+
+    def __init__(self, shapes):
+        self.shapes = list(shapes)
+
+
+#: Reference-API alias: ``KdTree::new(shapes)`` — acceleration structures
+#: are implicit in this framework, so this is just a shape group.
+KdTree = ShapeGroup
+
+
 # ---------------------------------------------------------------------------
 # Helper constructors (shape.rs:287-314)
 
