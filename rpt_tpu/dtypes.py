@@ -19,6 +19,20 @@ _F64 = os.environ.get("RPT_TPU_F64", "0") == "1"
 if _F64:
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: scene/shape changes retrigger XLA compiles
+# that take minutes on TPU toolchains; cache them across processes.
+if os.environ.get("RPT_TPU_NO_COMPILE_CACHE", "0") != "1":
+    _cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "rpt_tpu_xla"),
+    )
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 #: Float dtype used for all geometry/radiometry computation.
 DTYPE = jnp.float64 if _F64 else jnp.float32
 

@@ -97,10 +97,11 @@ def shoot_photons(scene, tables, key, photon_count: int, watts: float,
 
 @dataclass
 class _Launch:
-    fn: object
+    fn: object  # jitted
     n: int
     s_cap: int
     v_cap: int
+    raw: object = None  # unjitted body (for shard_map wrapping)
 
 
 def _shoot_launch(scene, light_index: int, power_scalar: float, kind: str,
@@ -220,7 +221,7 @@ def _shoot_launch(scene, light_index: int, power_scalar: float, kind: str,
         v_buf, v_count = compact(v_mask, v_cap)
         return s_buf, s_count, v_buf, v_count
 
-    return _Launch(jax.jit(launch), n, s_cap, v_cap)
+    return _Launch(jax.jit(launch), n, s_cap, v_cap, raw=launch)
 
 
 # ---------------------------------------------------------------------------

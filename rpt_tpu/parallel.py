@@ -97,3 +97,44 @@ def render_sharded(scene, camera, width: int, height: int, num_samples: int,
 
     out = launch(xn, yn, pix_ids, scene.tables, key)
     return np.asarray(out)[:n_pix]
+
+
+def shoot_photons_sharded(scene, key, photon_count: int, watts: float, kind: str,
+                          mesh: Mesh, max_depth: int = 48):
+    """Photon shooting sharded by photon index over the whole mesh
+    (the analog of rayon's parallel photon loop, photon.rs:663-674).
+
+    Each device shoots photon_count/n_devices photons from its own key
+    stream; deposit buffers are gathered across devices (all-gather over
+    ICI in the SPMD program; here realized by the sharded output).
+    Returns host (surface_rows, volume_rows) float32 arrays.
+    """
+    from .integrators.photon import _find_object_light, _shoot_launch
+
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    per_dev = -(-photon_count // n_dev)
+    li, _ = _find_object_light(scene)
+    launch = _shoot_launch(scene, li, watts / photon_count, kind, max_depth, per_dev)
+    axes = tuple(mesh.shape.keys())
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(axes), P(axes), P(axes), P(axes)),
+        check_vma=False,
+    )
+    def run(tables, key):
+        dev = jax.lax.axis_index(axes)
+        k = jax.random.fold_in(key, dev)
+        s_buf, s_count, v_buf, v_count = launch.raw(tables, k)
+        return s_buf, s_count[None], v_buf, v_count[None]
+
+    s_buf, s_counts, v_buf, v_counts = run(scene.tables, key)
+    s_buf = np.asarray(s_buf).reshape(n_dev, launch.s_cap, -1)
+    v_buf = np.asarray(v_buf).reshape(n_dev, launch.v_cap, -1)
+    s_counts = np.minimum(np.asarray(s_counts), launch.s_cap)
+    v_counts = np.minimum(np.asarray(v_counts), launch.v_cap)
+    surface = np.concatenate([s_buf[i, : s_counts[i]] for i in range(n_dev)])
+    volume = np.concatenate([v_buf[i, : v_counts[i]] for i in range(n_dev)])
+    return surface, volume

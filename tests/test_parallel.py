@@ -50,6 +50,29 @@ def test_render_sharded_matches_single_device():
     assert np.array_equal(out8, out8b)
 
 
+def test_sharded_photon_shooting():
+    import rpt_tpu.integrators.photon as ph
+    from rpt_tpu.parallel import shoot_photons_sharded
+
+    scene = rpt.Scene()
+    white = rpt.Material.diffuse(rpt.hex_color(0xAAAAAA))
+    floor = rpt.polygon([(0, 0, 0), (0, 0, 10), (10, 0, 10), (10, 0, 0)])
+    light = rpt.polygon([(6, 9.9, 4), (6, 9.9, 6), (4, 9.9, 6), (4, 9.9, 4)])
+    scene.add(rpt.Object(floor).material(white))
+    scene.add((light, rpt.Material.light(rpt.hex_color(0xFFFFFF), 50.0)))
+    cs = scene.compile()
+
+    key = jax.random.key(0)
+    s1, v1 = ph.shoot_photons(cs, cs.tables, key, 2000, 100.0, ph.PHOTON_MAP)
+    mesh = make_mesh(8, sp=2)
+    s8, v8 = shoot_photons_sharded(cs, key, 2000, 100.0, ph.PHOTON_MAP, mesh)
+    # statistically equivalent deposit counts and energy
+    assert abs(len(s8) - len(s1)) / max(len(s1), 1) < 0.35
+    e1 = np.linalg.norm(s1[:, 6:9], axis=1).sum()
+    e8 = np.linalg.norm(s8[:, 6:9], axis=1).sum()
+    assert abs(e8 - e1) / e1 < 0.35
+
+
 def test_dp_only_mesh_bitwise_matches_single():
     """Pixel sharding alone must not change any sampled value."""
     scene = _sphere_scene().compile()
