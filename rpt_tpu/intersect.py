@@ -395,12 +395,17 @@ def _leaf_intersect(leaves, do_leaf, leaf_idx, count, ray, t_min, time, tri, bu,
     return time, tri, bu, bv, bw
 
 
-COMPACT_AFTER = 40  # full-width steps before compacting the survivor tail
+# staged survivor compaction: (bounded steps at full width) -> (bounded
+# steps at 1/2 width) -> (fixpoint at 1/8 width). Active-lane decay on the
+# dragon workload: ~36% after 24 steps, ~3% after 48 — each stage must be
+# wide enough for the survivors of the previous one, or the fixpoint stage
+# loops over leftovers.
+COMPACT_STAGES = ((24, 2), (24, 8))
 
 
 def _traverse(bvh: BVHTables, ray: Ray, t_min, limit, best_time, any_hit: bool):
-    """Ordered short-stack traversal over pair-packed nodes, with survivor
-    compaction.
+    """Ordered short-stack traversal over pair-packed nodes, with staged
+    survivor compaction.
 
     Each step fetches ONE node row containing both children's boxes, tests
     both, descends into the nearer hit child and pushes the farther onto a
@@ -408,9 +413,9 @@ def _traverse(bvh: BVHTables, ray: Ray, t_min, limit, best_time, any_hit: bool):
     front-to-back kd descent with t-based pruning (kdtree.rs:154-226).
 
     The loop cost is set by the SLOWEST lane (~7x the mean step count), so
-    after ``COMPACT_AFTER`` full-width steps the surviving ~2-4% of lanes
-    are sorted to the front and the loop continues at 1/8 width; an outer
-    loop repeats the compaction until every lane finishes (exact for any
+    after a bounded number of steps the surviving lanes are argsort-
+    compacted to the front and the loop continues at reduced width; the
+    final stage repeats under an outer fixpoint loop (exact for any
     survivor count).
 
     Returns (time, tri_id, u, v, w). ``limit`` bounds useful hits (shadow
@@ -428,7 +433,21 @@ def _traverse(bvh: BVHTables, ray: Ray, t_min, limit, best_time, any_hit: bool):
             state, ray, inv_dir, limit, nodes, leaves, t_min, any_hit, depth_iota
         )
 
-    body = make_body(ray, inv_dir, limit)
+    def run_bounded(state, ray, inv_dir, limit, max_steps):
+        body = make_body(ray, inv_dir, limit)
+
+        def cond(carry):
+            return jnp.any(carry[0][0] >= 0) & (carry[1] < max_steps)
+
+        state, _ = jax.lax.while_loop(
+            cond, lambda c: (body(c[0]), c[1] + 1), (state, jnp.int32(0))
+        )
+        return state
+
+    def run_to_end(state, ray, inv_dir, limit):
+        body = make_body(ray, inv_dir, limit)
+        return jax.lax.while_loop(lambda s: jnp.any(s[0] >= 0), body, state)
+
     z = jnp.zeros(n, DTYPE)
     state = (
         jnp.zeros(n, jnp.int32),
@@ -442,35 +461,39 @@ def _traverse(bvh: BVHTables, ray: Ray, t_min, limit, best_time, any_hit: bool):
     )
 
     if n < 4096:
-        state = jax.lax.while_loop(lambda s: jnp.any(s[0] >= 0), body, state)
+        state = run_to_end(state, ray, inv_dir, limit)
         return state[3], state[4], state[5], state[6], state[7]
 
-    # phase 1: full width, bounded step count
-    def cond1(carry):
-        state, step = carry
-        return jnp.any(state[0] >= 0) & (step < COMPACT_AFTER)
+    def gather_sub(sel):
+        sub_ray = Ray(take(ray.origin, sel), take(ray.dir, sel))
+        sub_inv = take(inv_dir, sel)
+        sub_limit = limit[sel] if jnp.ndim(limit) else limit
+        return sub_ray, sub_inv, sub_limit
 
-    state, _ = jax.lax.while_loop(
-        cond1, lambda c: (body(c[0]), c[1] + 1), (state, jnp.int32(0))
-    )
+    # stage 1: bounded at full width
+    state = run_bounded(state, ray, inv_dir, limit, COMPACT_STAGES[0][0])
 
-    # phase 2: compact survivors to 1/8 width; repeat until done
-    w2 = max(2048, n // 8)
+    # stage 2: bounded at reduced width
+    w2 = max(2048, n // COMPACT_STAGES[0][1])
+    order = jnp.argsort(state[0] < 0)
+    sel2 = order[:w2]
+    sub_ray, sub_inv, sub_limit = gather_sub(sel2)
+    sub_state = tuple(a[sel2] for a in state)
+    sub_state = run_bounded(sub_state, sub_ray, sub_inv, sub_limit, COMPACT_STAGES[1][0])
+    state = tuple(a.at[sel2].set(b) for a, b in zip(state, sub_state))
+
+    # final stage: fixpoint at 1/16 width
+    w3 = max(2048, n // COMPACT_STAGES[1][1])
 
     def outer_cond(state):
         return jnp.any(state[0] >= 0)
 
     def outer_body(state):
         order = jnp.argsort(state[0] < 0)  # active lanes first (stable)
-        sel = order[:w2]
-        sub_ray = Ray(take(ray.origin, sel), take(ray.dir, sel))
-        sub_inv = take(inv_dir, sel)
-        sub_limit = limit[sel] if jnp.ndim(limit) else limit
+        sel = order[:w3]
+        sub_ray, sub_inv, sub_limit = gather_sub(sel)
         sub_state = tuple(a[sel] for a in state)
-        sub_body = make_body(sub_ray, sub_inv, sub_limit)
-        sub_state = jax.lax.while_loop(
-            lambda s: jnp.any(s[0] >= 0), sub_body, sub_state
-        )
+        sub_state = run_to_end(sub_state, sub_ray, sub_inv, sub_limit)
         return tuple(a.at[sel].set(b) for a, b in zip(state, sub_state))
 
     state = jax.lax.while_loop(outer_cond, outer_body, state)
