@@ -281,18 +281,36 @@ def build_photon_map(scene, tables, surface_rows: np.ndarray, volume_rows: np.nd
         nv = len(volume_rows)
         if nv:
             radius = _knn_radius_device(v_static, v_tabs, nv, k=10)
-        else:
-            radius = np.zeros(1, np.float32)
-        if nv:
             print(
                 "Finished calculating Photon radiuses "
                 f"{(float(radius[:nv].mean()), float(radius[:nv].max()), float(radius[:nv].min()))}"
             )
+        else:
+            radius = np.zeros(1, np.float32)
+        # pad to a multiple of the sweep chunk: zero-radius spheres are
+        # inert, and padding keeps dynamic_slice in bounds (an OOB start
+        # would CLAMP and double-count a window of spheres)
+        from ..ops.sphere_sweep import pack_spheres_transposed
+
+        chunk = 4096
+        pad = max(chunk, -(-max(nv, 1) // chunk) * chunk)
+        pos4 = np.zeros((pad, 4), np.float32)
+        rad = np.zeros(pad, np.float32)
+        dirs = np.zeros((pad, 3), np.float32)
+        pows = np.zeros((pad, 3), np.float32)
+        if nv:
+            pos4[:nv, :3] = v[:nv, 0:3]
+            rad[:nv] = radius[:nv]
+            dirs[:nv] = v[:nv, 3:6]
+            pows[:nv] = v[:nv, 6:9]
         data.spheres = {
-            "pos4": v_tabs["pos4"],
-            "radius": jnp.asarray(radius, DTYPE),
-            "dir": Vec3(jnp.asarray(v[:, 3]), jnp.asarray(v[:, 4]), jnp.asarray(v[:, 5])),
-            "power": Vec3(jnp.asarray(v[:, 6]), jnp.asarray(v[:, 7]), jnp.asarray(v[:, 8])),
+            "pos4": jnp.asarray(pos4),
+            "radius": jnp.asarray(rad, DTYPE),
+            "dir": Vec3.from_array(dirs),
+            "power": Vec3.from_array(pows),
+            "packed_t": jnp.asarray(
+                pack_spheres_transposed(pos4[:, :3], rad, dirs, pows)
+            ),
         }
         data.n_spheres = nv
     elif kind == BEAM_BEAM:
@@ -450,8 +468,9 @@ def _k2(x):
 def volume_estimate_spheres(pmap: PhotonMapData, medium, ray: Ray, hit,
                             chunk: int = 4096) -> Vec3:
     """Beam-query x point-photon estimate (photon.rs:439-501): perpendicular
-    disk test against every photon sphere, chunked dense sweep (replaces
-    the reference's BVH traverse)."""
+    disk test against every photon sphere, dense sweep (replaces the
+    reference's BVH traverse). Uses the Pallas streaming kernel for
+    constant-phase media on TPU; XLA chunked sweep otherwise."""
     n = ray.origin.shape[0]
     zero = Vec3.zeros(n)
     if pmap.n_spheres == 0:
@@ -460,6 +479,25 @@ def volume_estimate_spheres(pmap: PhotonMapData, medium, ray: Ray, hit,
     med_color = medium.color(dummy)
     ext = medium.extinction(dummy)
     hit_time = jnp.where(hit.valid, hit.time, INF)
+
+    if (
+        medium.phase_const is not None
+        and "packed_t" in (pmap.spheres or {})
+        and jax.default_backend() == "tpu"
+    ):
+        from ..ops.sphere_sweep import sphere_sweep
+
+        out = sphere_sweep(
+            ray.origin.to_array().astype(jnp.float32),
+            ray.dir.to_array().astype(jnp.float32),
+            hit_time.astype(jnp.float32),
+            pmap.spheres["packed_t"],
+            medium.extinction(Vec3.zeros(())),
+            jnp.ones(3, jnp.float32),
+            n_spheres=pmap.n_spheres,
+            phase_const=float(medium.phase_const),
+        )
+        return Vec3(out[:, 0], out[:, 1], out[:, 2]) * med_color
 
     pos4 = pmap.spheres["pos4"]
     radius = pmap.spheres["radius"]

@@ -34,6 +34,9 @@ class Medium:
     color: Callable
     phase: Callable
     sample_ph: Callable
+    #: set when `phase` is a direction-independent constant (isotropic
+    #: presets) — lets estimators use dense Pallas sweeps
+    phase_const: float | None = None
 
     def extinction(self, pos: Vec3):
         """sigma_t = sigma_a + sigma_s (medium.rs:56-60)."""
@@ -75,6 +78,7 @@ class Medium:
             color=lambda p: tan.broadcast_to(p.shape),
             phase=lambda wo, wi: jnp.full_like(wo.x, sampling.INV_4PI),
             sample_ph=sample_ph,
+            phase_const=sampling.INV_4PI,
         )
 
     @staticmethod
@@ -102,6 +106,7 @@ class Medium:
             color=color,
             phase=lambda wo, wi: jnp.full_like(wo.x, phase_const),
             sample_ph=sample_ph,
+            phase_const=phase_const,
         )
 
     @staticmethod
