@@ -328,14 +328,19 @@ def _aabb_interval(ray: Ray, p_min: Vec3, p_max: Vec3):
 
 
 def _leaf_intersect(leaves, do_leaf, leaf_idx, count, ray, t_min, time, tri, bu, bv, bw):
-    """Gather one leaf row (masked) and test its 8 triangles, vectorized
+    """Gather one leaf row per lane (masked) and test its 8 triangles."""
+    leaf = jnp.take(leaves, jnp.where(do_leaf, leaf_idx, 0), axis=0)  # (n, 80)
+    return _leaf_rows_test(leaf, do_leaf, count, ray, t_min, time, tri, bu, bv, bw)
+
+
+def _leaf_rows_test(leaf, do_leaf, count, ray, t_min, time, tri, bu, bv, bw):
+    """Test the 8 triangles of materialized (n, LEAF_ROW) rows, vectorized
     across the slot axis.
 
     Same algebra as mesh.rs:50-83 (plane hit + barycentric) with
     d0 = e1 = v2-v1, d1 = e2 = v3-v1, on (n, 8) arrays; the per-lane best
     slot is selected with a one-hot reduction.
     """
-    leaf = jnp.take(leaves, jnp.where(do_leaf, leaf_idx, 0), axis=0)  # (n, 80)
 
     def block(c):  # contiguous lane slice -> (n, 8)
         return leaf[:, 8 * c : 8 * c + 8]
@@ -460,7 +465,9 @@ def _traverse(bvh: BVHTables, ray: Ray, t_min, limit, best_time, any_hit: bool):
         z,
     )
 
-    if n < 4096:
+    # small wavefronts/trees: the argsort+gather compaction machinery costs
+    # more than just finishing the loop (tiny trees traverse in ~depth steps)
+    if n < 4096 or bvh.nodes.shape[0] < 1024:
         state = run_to_end(state, ray, inv_dir, limit)
         return state[3], state[4], state[5], state[6], state[7]
 
@@ -575,13 +582,32 @@ def _traverse_step(state, ray, inv_dir, limit, nodes, leaves, t_min, any_hit, de
     return new_cur, new_sp, stack, time, tri, bu, bv, bw
 
 
-def bvh_closest_hit(bvh: BVHTables, ray: Ray, t_min, best: Hit) -> Hit:
-    """Closest-hit query via the ordered short-stack traversal. Shading
-    attributes for the winning triangle are fetched once after the loop."""
+DENSE_TRI_ROWS = 8  # scenes with <= 8 leaf rows (64 tris) skip the BVH
+
+
+def dense_tri_hit(bvh: BVHTables, ray: Ray, t_min, best: Hit) -> Hit:
+    """Gather-free path for tiny meshes (e.g. Cornell's 14 wall triangles):
+    every leaf row is a static slice broadcast against the wavefront — pure
+    fused VPU math, no traversal loop."""
     n = ray.origin.shape[0] if ray.origin.shape else ()
-    time, tri, u, v, w = _traverse(
-        bvh, ray, t_min, jnp.full(n, INF, DTYPE), best.time, any_hit=False
-    )
+    n_rows = bvh.leaves.shape[0]
+    time = best.time
+    tri = jnp.full(n, -1, jnp.int32)
+    z = jnp.zeros(n, DTYPE)
+    bu = bv = bw = z
+    ones = jnp.ones(n, bool)
+    counts = jnp.full(n, LEAF_TRIS, jnp.int32)
+    for row_i in range(n_rows):
+        leaf_row = jax.lax.broadcast_in_dim(
+            bvh.leaves[row_i], (n, bvh.leaves.shape[1]), (1,)
+        )
+        time, tri, bu, bv, bw = _leaf_rows_test(
+            leaf_row, ones, counts, ray, t_min, time, tri, bu, bv, bw
+        )
+    return _finish_hit(bvh, best, time, tri, bu, bv, bw)
+
+
+def _finish_hit(bvh: BVHTables, best: Hit, time, tri, u, v, w) -> Hit:
     improved = time < best.time
     srow = jnp.take(bvh.shade, jnp.maximum(tri, 0), axis=0)
     n1 = Vec3(srow[:, 0], srow[:, 1], srow[:, 2])
@@ -596,10 +622,25 @@ def bvh_closest_hit(bvh: BVHTables, ray: Ray, t_min, best: Hit) -> Hit:
     )
 
 
+def bvh_closest_hit(bvh: BVHTables, ray: Ray, t_min, best: Hit) -> Hit:
+    """Closest-hit query via the ordered short-stack traversal. Shading
+    attributes for the winning triangle are fetched once after the loop."""
+    if bvh.leaves.shape[0] <= DENSE_TRI_ROWS:
+        return dense_tri_hit(bvh, ray, t_min, best)
+    n = ray.origin.shape[0] if ray.origin.shape else ()
+    time, tri, u, v, w = _traverse(
+        bvh, ray, t_min, jnp.full(n, INF, DTYPE), best.time, any_hit=False
+    )
+    return _finish_hit(bvh, best, time, tri, u, v, w)
+
+
 def bvh_any_hit(bvh: BVHTables, ray: Ray, t_min, limit) -> jax.Array:
     """True where some triangle lies at t in [t_min, limit) — early-exit
     occlusion query for shadow rays."""
     n = ray.origin.shape[0] if ray.origin.shape else ()
+    if bvh.leaves.shape[0] <= DENSE_TRI_ROWS:
+        h = dense_tri_hit(bvh, ray, t_min, Hit.none(ray.origin.shape))
+        return h.time < limit
     time, _, _, _, _ = _traverse(
         bvh, ray, t_min, limit, jnp.full(n, INF, DTYPE), any_hit=True
     )
