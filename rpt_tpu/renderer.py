@@ -110,9 +110,22 @@ class Renderer:
             self._compiled = self.scene.compile()
         return self._compiled
 
+    def _apply_preview(self):
+        """RPT_TPU_PREVIEW=<scale> shrinks resolution/samples for smoke
+        runs (CI / example sanity checks) without touching driver code."""
+        import os
+
+        scale = os.environ.get("RPT_TPU_PREVIEW")
+        if scale:
+            s = max(1, int(scale))
+            self.width_ = max(8, self.width_ // s)
+            self.height_ = max(8, self.height_ // s)
+            self.num_samples_ = max(1, min(self.num_samples_, 4))
+
     def render(self) -> np.ndarray:
         """Path trace and return an (H, W, 3) sRGB u8 image
         (renderer.rs:137-141)."""
+        self._apply_preview()
         buffer = Buffer(self.width_, self.height_, self.filter_)
         self.sample(self.num_samples_, buffer)
         return buffer.image()
@@ -120,6 +133,8 @@ class Renderer:
     def iterative_render(self, callback_interval: int, callback):
         """Progressive render; callback(iteration, buffer) every
         ``callback_interval`` samples (renderer.rs:144-156)."""
+        self._apply_preview()
+        callback_interval = min(callback_interval, self.num_samples_)
         buffer = Buffer(self.width_, self.height_, self.filter_)
         iteration = 0
         while iteration < self.num_samples_:
@@ -172,8 +187,13 @@ class Renderer:
 
     def photon_render(self, photon_count: int, kind: str,
                       occlusion_check: bool = True) -> np.ndarray:
+        import os
+
         from .integrators import photon as ph
 
+        self._apply_preview()
+        if os.environ.get("RPT_TPU_PREVIEW"):
+            photon_count = min(photon_count, 5000)
         scene = self.compiled
         key = jax.random.key(self.seed_)
         print("Shooting photons")
