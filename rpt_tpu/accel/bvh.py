@@ -277,17 +277,15 @@ def pack_bvh(bvh: FlatBVH, verts: np.ndarray, normals: np.ndarray, mats: np.ndar
     internal_ids = np.cumsum(internal_mask) - 1
     ii_all = np.nonzero(internal_mask)[0]
 
-    # node row layout (pairwise interleaved): field f of child side s lives
-    # at column 2*f + s, f in [minx,miny,minz,maxx,maxy,maxz,ptr,meta]
+    # node row layout: [Lmin(3) Rmin(3) | Lmax(3) Rmax(3) | Lptr Rptr Lmeta Rmeta]
     if len(ii_all) == 0:
         # whole tree is a single leaf: synthesize one internal row with an
         # empty right child (inverted box -> never hit)
         nodes = np.zeros((1, NODE_ROW), np.float32)
-        for f in range(3):
-            nodes[0, 2 * f] = bvh.bb_min[0, f] if k else 0.0
-            nodes[0, 2 * f + 1] = 1e30
-            nodes[0, 2 * (3 + f)] = bvh.bb_max[0, f] if k else 0.0
-            nodes[0, 2 * (3 + f) + 1] = -1e30
+        nodes[0, 0:3] = bvh.bb_min[0] if k else 0.0
+        nodes[0, 3:6] = 1e30  # right min
+        nodes[0, 6:9] = bvh.bb_max[0] if k else 0.0
+        nodes[0, 9:12] = -1e30  # right max (inverted -> never hit)
         nodes[0, 12] = 0  # left ptr = leaf row 0
         nodes[0, 13] = 0
         nodes[0, 14] = bvh.count[0] if k else -1  # left meta
@@ -298,9 +296,8 @@ def pack_bvh(bvh: FlatBVH, verts: np.ndarray, normals: np.ndarray, mats: np.ndar
             is_leaf = leaf_mask[child]
             ptr = np.where(is_leaf, leaf_ids[child], internal_ids[child])
             meta = np.where(is_leaf, bvh.count[child], 0)
-            for f in range(3):
-                nodes[:, 2 * f + side] = bvh.bb_min[child, f]
-                nodes[:, 2 * (3 + f) + side] = bvh.bb_max[child, f]
+            nodes[:, 3 * side : 3 * side + 3] = bvh.bb_min[child]
+            nodes[:, 6 + 3 * side : 9 + 3 * side] = bvh.bb_max[child]
             nodes[:, 12 + side] = ptr
             nodes[:, 14 + side] = meta
 

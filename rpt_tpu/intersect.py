@@ -93,9 +93,12 @@ class TriangleSoA:
 # Shading attributes (normals, material) are fetched once per ray AFTER
 # traversal.
 NODE_ROW = 16
-# node row layout (pairwise interleaved, component-major):
-#   [0:2]=Lmin.x,Rmin.x [2:4]=.y [4:6]=.z [6:8]=Lmax.x,Rmax.x [8:10]=.y
-#   [10:12]=.z [12:14]=Lptr,Rptr [14:16]=Lmeta,Rmeta
+# node row layout (child-major groups, consumed as TWO coarse lane slices
+# + one (n,2,3) reshape-reduce — column extraction of gathered rows costs
+# a cross-lane op per column, so minimize slice count):
+#   [0:6]  = Lmin.xyz, Rmin.xyz
+#   [6:12] = Lmax.xyz, Rmax.xyz
+#   [12:16] = Lptr, Rptr, Lmeta, Rmeta
 LEAF_TRIS = 8
 LEAF_ROW = 80
 # leaf row layout: 10 component blocks of 8 slots:
@@ -341,9 +344,11 @@ def _leaf_rows_test(leaf, do_leaf, count, ray, t_min, time, tri, bu, bv, bw):
     d0 = e1 = v2-v1, d1 = e2 = v3-v1, on (n, 8) arrays; the per-lane best
     slot is selected with a one-hot reduction.
     """
+    # one relayout, then component extraction is a cheap sublane slice
+    leaf3 = leaf.reshape(leaf.shape[0], 10, LEAF_TRIS)
 
-    def block(c):  # contiguous lane slice -> (n, 8)
-        return leaf[:, 8 * c : 8 * c + 8]
+    def block(c):  # -> (n, 8)
+        return leaf3[:, c, :]
 
     def vec(c0):
         return Vec3(block(c0), block(c0 + 1), block(c0 + 2))
@@ -434,8 +439,11 @@ def _traverse(bvh: BVHTables, ray: Ray, t_min, limit, best_time, any_hit: bool):
     def make_body(ray, inv_dir, limit):
         width = ray.origin.shape[0]
         depth_iota = jax.lax.broadcasted_iota(jnp.int32, (width, STACK_DEPTH), 1)
+        o6 = jnp.concatenate([ray.origin.to_array()] * 2, axis=1)
+        inv6 = jnp.concatenate([inv_dir.to_array()] * 2, axis=1)
         return lambda state: _traverse_step(
-            state, ray, inv_dir, limit, nodes, leaves, t_min, any_hit, depth_iota
+            state, ray, inv_dir, limit, nodes, leaves, t_min, any_hit, depth_iota,
+            o6=o6, inv6=inv6,
         )
 
     def run_bounded(state, ray, inv_dir, limit, max_steps):
@@ -507,33 +515,32 @@ def _traverse(bvh: BVHTables, ray: Ray, t_min, limit, best_time, any_hit: bool):
     return state[3], state[4], state[5], state[6], state[7]
 
 
-def _traverse_step(state, ray, inv_dir, limit, nodes, leaves, t_min, any_hit, depth_iota):
+def _traverse_step(state, ray, inv_dir, limit, nodes, leaves, t_min, any_hit, depth_iota,
+                   o6=None, inv6=None):
     n = ray.origin.shape[0]
     cur, sp, stack, time, tri, bu, bv, bw = state
     active = cur >= 0
     row = jnp.take(nodes, jnp.maximum(cur, 0), axis=0)  # ONE gather
 
-    def pair(c):  # contiguous (n, 2) lane slice: [L, R] of one field
-        return row[:, 2 * c : 2 * c + 2]
+    if o6 is None:
+        o6 = jnp.concatenate([ray.origin.to_array()] * 2, axis=1)
+        inv6 = jnp.concatenate([inv_dir.to_array()] * 2, axis=1)
 
-    pmin = (pair(0), pair(1), pair(2))
-    pmax = (pair(3), pair(4), pair(5))
-    ptr = pair(6).astype(jnp.int32)
-    meta = pair(7).astype(jnp.int32)
+    # slab test: two coarse slices, child-major (n, 2, 3) reduce
+    t1 = (row[:, 0:6] - o6) * inv6
+    t2 = (row[:, 6:12] - o6) * inv6
+    lo = jnp.minimum(t1, t2)
+    hi = jnp.maximum(t1, t2)
+    lo = jnp.where(jnp.isnan(lo), -INF, lo)
+    hi = jnp.where(jnp.isnan(hi), INF, hi)
+    enter = lo.reshape(n, 2, 3).max(-1)  # (n, 2)
+    exit_ = hi.reshape(n, 2, 3).min(-1)
 
-    # slab test on (n, 2) arrays: both children at once
+    pm = row[:, 12:16].astype(jnp.int32)  # [Lptr, Rptr, Lmeta, Rmeta]
+    ptr = pm[:, 0:2]
+    meta = pm[:, 2:4]
+
     cutoff = jnp.minimum(time, limit)
-    enter = jnp.full((n, 2), -INF, DTYPE)
-    exit_ = jnp.full((n, 2), INF, DTYPE)
-    for axis, (o, inv) in enumerate(
-        [(ray.origin.x, inv_dir.x), (ray.origin.y, inv_dir.y), (ray.origin.z, inv_dir.z)]
-    ):
-        t1 = (pmin[axis] - o[:, None]) * inv[:, None]
-        t2 = (pmax[axis] - o[:, None]) * inv[:, None]
-        lo = jnp.minimum(t1, t2)
-        hi = jnp.maximum(t1, t2)
-        enter = jnp.maximum(enter, jnp.where(jnp.isnan(lo), -INF, lo))
-        exit_ = jnp.minimum(exit_, jnp.where(jnp.isnan(hi), INF, hi))
     hit2 = (
         (enter <= exit_)
         & (exit_ >= t_min)
