@@ -14,6 +14,7 @@ from .buffer import Buffer, Filter  # noqa: F401
 from .camera import Camera  # noqa: F401
 from .color import color_bytes, hex_color  # noqa: F401
 from .environment import ColorEnvironment, Environment, Hdri  # noqa: F401
+from .io import load_hdr, load_mtl, load_obj, load_obj_with_mtl, load_stl  # noqa: F401
 from .lights import (  # noqa: F401
     AmbientLight,
     DirectionalLight,
@@ -39,6 +40,13 @@ from .shapes import (  # noqa: F401
     plane,
     polygon,
     sphere,
+)
+from .ode import (  # noqa: F401
+    MarblesSystem,
+    ParticleState,
+    ParticleSystem,
+    SimpleCircleSystem,
+    SolidGravitySystem,
 )
 from .vec import Vec3  # noqa: F401
 

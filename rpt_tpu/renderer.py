@@ -103,6 +103,14 @@ class Renderer:
         self.media_max_depth_ = int(v)
         return self
 
+    def profile(self, trace_dir: str):
+        """Capture a jax.profiler trace of the next render into
+        ``trace_dir`` (viewable with tensorboard/xprof). The reference has
+        no profiler (SURVEY.md §5.1); this is the TPU-native equivalent of
+        its wall-clock callbacks."""
+        self._profile_dir = trace_dir
+        return self
+
     # ------------------------------------------------------------------
     @property
     def compiled(self) -> CompiledScene:
@@ -159,7 +167,14 @@ class Renderer:
         )
         key = jax.random.key(self.seed_)
         t0 = _time.perf_counter()
-        out = fn(scene.tables, key, jnp.asarray(self._sample_index, jnp.int32))
+        profile_dir = getattr(self, "_profile_dir", None)
+        if profile_dir:
+            self._profile_dir = None
+            with jax.profiler.trace(profile_dir):
+                out = fn(scene.tables, key, jnp.asarray(self._sample_index, jnp.int32))
+                jax.block_until_ready(out)
+        else:
+            out = fn(scene.tables, key, jnp.asarray(self._sample_index, jnp.int32))
         total = np.asarray(out, np.float64)
         self._sample_index += iterations
         elapsed = _time.perf_counter() - t0
