@@ -74,7 +74,11 @@ def _t(v):
 # ---------------------------------------------------------------------------
 # Compiled lights: (static descriptor, device tables) pairs.
 
-AREA_SPHERE, AREA_CUBE, AREA_MESH = 0, 1, 2
+AREA_SPHERE, AREA_CUBE, AREA_MESH, AREA_MONOMIAL = 0, 1, 2, 3
+
+#: surface area of the exp=4, height=1 monomial surface
+#: (monomial_surface.rs:118, "thanks WolframAlpha")
+MONOMIAL_AREA = 6.3406654362
 
 
 @dataclass(frozen=True)
@@ -116,6 +120,22 @@ def compile_light(light) -> tuple[CompiledLight, dict]:
         )
         kind = AREA_SPHERE if isinstance(base, Sphere) else AREA_CUBE
         return CompiledLight("object", kind, color=mat.color_value(), emittance=mat.emittance_value()), tabs
+    from .shapes import MonomialSurface
+
+    if isinstance(base, MonomialSurface):
+        m4 = np.asarray(matrix, np.float64)
+        lin = m4[:3, :3]
+        tabs = dict(
+            common,
+            fwd=Affine.from_numpy(m4),
+            inv=Affine.from_numpy(np.linalg.inv(m4)),
+            nmat=Mat3.from_numpy(np.linalg.inv(lin).T),
+            det=jnp.asarray(np.linalg.det(lin), DTYPE),
+            height=jnp.asarray(base.height, DTYPE),
+        )
+        return CompiledLight(
+            "object", AREA_MONOMIAL, color=mat.color_value(), emittance=mat.emittance_value()
+        ), tabs
     if isinstance(base, Mesh):
         mesh = transform_mesh(base, matrix) if isinstance(light.shape, Transformed) else base
         v = mesh.vertices
@@ -197,6 +217,20 @@ def _transformed_sample(tabs, local_v, local_n, local_pdf):
     return fwd.apply_point(local_v), world_n, local_pdf / base
 
 
+def _sample_monomial_local(height, keys):
+    """Uniform unit-circle sample lifted to the surface, two-sided normal
+    flip, pdf 1/(2*AREA) (monomial_surface.rs:109-124)."""
+    r1 = sampling.uniform(sampling.fold(keys, 0x31))
+    x, z = sampling.unit_circle(r1)
+    r2 = x * x + z * z  # == 1 on the circle, as the reference samples it
+    pos = Vec3(x, height * r2 * r2, z)
+    normal = Vec3(height * 4.0 * x * r2, -jnp.ones_like(x), height * 4.0 * z * r2).normalize()
+    flip = sampling.uniform(sampling.fold(keys, 0x32)) < 0.5
+    normal = where(flip, -normal, normal)
+    pdf = jnp.full_like(x, 1.0 / (2.0 * MONOMIAL_AREA))
+    return pos, normal, pdf
+
+
 def sample_shape(static: CompiledLight, tabs, target: Vec3, keys):
     """shape.sample(target) -> (point, normal, pdf), vectorized."""
     if static.area_kind == AREA_SPHERE:
@@ -206,6 +240,9 @@ def sample_shape(static: CompiledLight, tabs, target: Vec3, keys):
         return _transformed_sample(tabs, lv, ln, lp)
     if static.area_kind == AREA_CUBE:
         lv, ln, lp = _sample_cube_local(keys)
+        return _transformed_sample(tabs, lv, ln, lp)
+    if static.area_kind == AREA_MONOMIAL:
+        lv, ln, lp = _sample_monomial_local(tabs["height"], keys)
         return _transformed_sample(tabs, lv, ln, lp)
     assert static.area_kind == AREA_MESH
     # KdTree::sample: uniform object, pdf / n (kdtree.rs:141-147)
