@@ -143,3 +143,27 @@ def test_nee_matches_brute_force_on_sphere_light():
     f = 1.0 / np.pi
     ref = (f * intensity * cos_s).mean()
     assert abs(mc[0] - ref) / ref < 0.05, (mc, ref)
+
+
+def test_colored_glowing_fog_runs():
+    """Heterogeneous (position-dependent) medium callables trace into the
+    kernel (medium.rs:99-121: two-color emissive fog, pi/4 phase sic)."""
+    scene = rpt.Scene()
+    scene.add(
+        rpt.Object(rpt.plane((0.0, 1.0, 0.0), -500.0)).material(
+            rpt.Material.diffuse((0.5, 0.5, 0.5))
+        )
+    )
+    scene.add(rpt.Medium.colored_glowing_fog(1e-3, 1e-3))
+    cs = scene.compile()
+    n = 256
+    o = np.tile([[0.0, 300.0, 0.0]], (n, 1))
+    rng = np.random.default_rng(2)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ray = Ray(Vec3.from_array(o), Vec3.from_array(d))
+    out = trace_volumetric(cs, cs.tables, ray, keys_for(jax.random.key(1), n), max_depth=8)
+    vals = out.to_numpy()
+    assert np.isfinite(vals).all()
+    # emissive fog: bounce-0 medium events emit 10 * color -> nonzero image
+    assert vals.mean() > 0.1
