@@ -3,8 +3,8 @@
 Ports the per-shape `intersect` methods of `/root/reference/src/shape/*.rs`
 to wavefront kernels: every function takes a batch of N rays and tests them
 against one primitive (analytic prims, looped/merged per prim — scenes have
-few) or the whole triangle BVH (stackless rope traversal, all rays in
-lock-step inside one ``lax.while_loop``).
+few) or the whole triangle BVH (ordered short-stack traversal, all rays in
+lock-step inside ``lax.while_loop`` phases with survivor compaction).
 
 Scene-level closest hit mirrors the reference's *deliberate* linear scan
 over objects (`renderer.rs:411-425` — planes have infinite extent and don't
@@ -55,24 +55,6 @@ class PlaneSet:
     normal: Vec3  # (P,)
     value: jax.Array  # (P,)
     material: jax.Array  # (P,) int32
-
-    @property
-    def n(self) -> int:
-        return int(self.material.shape[0])
-
-
-@jax.tree_util.register_dataclass
-@dataclass(frozen=True)
-class TriangleSoA:
-    """World-space-baked triangles in BVH (Morton) order."""
-
-    v1: Vec3
-    v2: Vec3
-    v3: Vec3
-    n1: Vec3
-    n2: Vec3
-    n3: Vec3
-    material: jax.Array  # (T,) int32
 
     @property
     def n(self) -> int:

@@ -18,13 +18,13 @@ XLA inserts the collectives.
 
 from __future__ import annotations
 
-import math
+
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from . import sampling
 from .dtypes import DTYPE

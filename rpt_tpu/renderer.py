@@ -12,9 +12,9 @@ per-call means into the ``Buffer`` (exactly one buffer sample per
 from __future__ import annotations
 
 import functools
-import math
+
 import time as _time
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -25,9 +25,9 @@ from .buffer import Buffer, Filter
 from .camera import Camera
 from .dtypes import DTYPE
 from .integrators.path import trace_surface, trace_volumetric
-from .ray import Ray
+
 from .scene import CompiledScene, Scene
-from .vec import Vec3
+
 
 
 @dataclass
