@@ -83,13 +83,20 @@ def main():
     )
     n_pix = WIDTH * HEIGHT
     dim = float(max(WIDTH, HEIGHT))
-    xs = np.arange(n_pix)
-    xn = jnp.asarray((2.0 * (xs % WIDTH) + 1.0 - WIDTH) / dim, DTYPE)
-    yn = jnp.asarray((2.0 * (HEIGHT - xs // WIDTH) - 1.0 - HEIGHT) / dim, DTYPE)
+    # Morton pixel order: consecutive wavefront lanes are spatially
+    # coherent, which the tile-binned traversal converts into shared
+    # cluster fetches (rpt_tpu.tiled)
+    from rpt_tpu.renderer import _pixel_grid
+
+    xn_np, yn_np, pixel_ids, _ = _pixel_grid(WIDTH, HEIGHT)
+    xn = jnp.asarray(xn_np, DTYPE)
+    yn = jnp.asarray(yn_np, DTYPE)
 
     @jax.jit
     def launch(tables, key, s0):
-        pix_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_pix))
+        pix_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.asarray(pixel_ids, jnp.int32)
+        )
 
         def one(acc, s):
             acc_img, acc_segs = acc
@@ -108,9 +115,10 @@ def main():
         return img, segs
 
     key = jax.random.key(0)
-    # warmup/compile
+    # warmup/compile (int() forces a real device->host sync; under the axon
+    # tunnel block_until_ready can resolve before the work is done)
     img, segs = launch(scene.tables, key, jnp.asarray(0, jnp.int32))
-    jax.block_until_ready((img, segs))
+    int(segs)
     setup_s = time.time() - t_setup
 
     best = float("inf")
@@ -118,7 +126,7 @@ def main():
     for r in range(reps):
         t0 = time.perf_counter()
         img, segs = launch(scene.tables, key, jnp.asarray((r + 1) * SPP, jnp.int32))
-        jax.block_until_ready((img, segs))
+        int(segs)
         best = min(best, time.perf_counter() - t0)
 
     total_rays = int(segs)

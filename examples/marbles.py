@@ -31,7 +31,8 @@ def main():
     hdri = get_hdri("ballroom_8k")
     colors = [0x264653, 0x2A9D8F, 0xE9C46A, 0xF4A261, 0xE76F51]
 
-    for frame in range(FRAMES):
+    frames = int(os.environ.get("RPT_TPU_FRAMES", str(FRAMES)))  # smoke-test cap
+    for frame in range(frames):
         scene = rpt.Scene()
         if not TEST:
             scene.add(hdri)
@@ -91,11 +92,14 @@ def main():
         state = system.rk4_integrate(state, 1.0 / 16.0, 1.0 / 10000.0)
         print(f"Frame {frame} finished")
 
-    subprocess.run(
-        ["ffmpeg", "-y", "-i", "video/image_%d.png", "-vcodec", "libx264",
-         "-s", "800x600", "-pix_fmt", "yuv420p", "video.mp4"],
-        check=False,
-    )
+    try:
+        subprocess.run(
+            ["ffmpeg", "-y", "-i", "video/image_%d.png", "-vcodec", "libx264",
+             "-s", "800x600", "-pix_fmt", "yuv420p", "video.mp4"],
+            check=False,
+        )
+    except FileNotFoundError:
+        print("ffmpeg not installed; frames left in video/")
 
 
 if __name__ == "__main__":

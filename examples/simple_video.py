@@ -11,7 +11,8 @@ import rpt_tpu as rpt
 
 def main():
     os.makedirs("video", exist_ok=True)
-    for i in range(60):
+    frames = int(os.environ.get("RPT_TPU_FRAMES", "60"))  # smoke-test cap
+    for i in range(frames):
         scene = rpt.Scene()
         scene.add(rpt.Object(rpt.sphere()))
         scene.add(
@@ -49,11 +50,14 @@ def main():
         )
         save(img, f"video/image_{i}.png")
 
-    subprocess.run(
-        ["ffmpeg", "-y", "-i", "video/image_%d.png", "-vcodec", "libx264",
-         "-s", "800x600", "-pix_fmt", "yuv420p", "video.mp4"],
-        check=False,
-    )
+    try:
+        subprocess.run(
+            ["ffmpeg", "-y", "-i", "video/image_%d.png", "-vcodec", "libx264",
+             "-s", "800x600", "-pix_fmt", "yuv420p", "video.mp4"],
+            check=False,
+        )
+    except FileNotFoundError:
+        print("ffmpeg not installed; frames left in video/")
 
 
 if __name__ == "__main__":

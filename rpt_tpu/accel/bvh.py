@@ -305,7 +305,28 @@ def pack_bvh(bvh: FlatBVH, verts: np.ndarray, normals: np.ndarray, mats: np.ndar
     if t:
         shade[:, 0:9] = nm.reshape(t, 9)
         shade[:, 9] = m
-    return nodes, leaves, shade
+    return nodes, leaves, shade, _required_stack_depth(nodes)
+
+
+def _required_stack_depth(nodes: np.ndarray) -> int:
+    """Exact host-side bound on traversal stack occupancy: the deepest
+    internal-node depth + 1 (one push max per internal node on a path).
+    Degenerate meshes (coincident centroids -> Morton-tie index splits) can
+    exceed any fixed constant, so the device stack is sized per tree.
+    Rounded up to a multiple of 8 (>= 8) for layout friendliness."""
+    lptr = nodes[:, 12].astype(np.int64)
+    rptr = nodes[:, 13].astype(np.int64)
+    lmeta = nodes[:, 14]
+    rmeta = nodes[:, 15]
+    cur = np.array([0], np.int64)
+    max_depth = 0
+    while cur.size:
+        children = np.concatenate([lptr[cur][lmeta[cur] == 0], rptr[cur][rmeta[cur] == 0]])
+        if children.size == 0:
+            break
+        max_depth += 1
+        cur = children
+    return max(8, -(-(max_depth + 1) // 8) * 8)
 
 
 def _common_prefix(keys: np.ndarray, i: np.ndarray, j: np.ndarray, n: int) -> np.ndarray:

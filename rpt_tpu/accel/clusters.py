@@ -1,0 +1,188 @@
+"""Fat triangle clusters for the tile-binned TPU traversal.
+
+The tri-level short-stack traversal is bound by XLA's gather ISSUE rate
+(~90 Mrows/s regardless of row size up to 512 B — PERF.md): ~9M random
+64-512 B fetches per dragon wavefront is a hard ~100 ms floor. The
+measured escape hatch (experiments/gather_width.py) is that FAT rows
+amortize the per-row cost (2.5 KB rows stream at ~100+ GB/s), and that
+sorting/binning is nearly free on TPU — so the redesign trades many tiny
+dependent fetches for a few fat coherent ones:
+
+* the mesh is cut into **clusters** of <= 64 triangles (tight SAH
+  subtrees), each packed into ONE 2.5 KB row (component-major slots, same
+  layout discipline as the 8-tri leaf rows);
+* a **tile** of 256 coherent rays culls clusters with dense interval
+  arithmetic (no tree, no gathers) and fetches candidate fat rows ONCE
+  per tile, testing all 256x64 ray-triangle pairs densely on the VPU.
+
+This module is the host-side build: cut the FlatBVH into clusters and
+pack the fat rows + bounding spheres. Replaces the subtree flattening
+role of the reference's kd-tree build (`kdtree.rs:238-348`) for the
+tile path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+from .bvh import FlatBVH
+
+CLUSTER_TRIS = 64
+CLUSTER_ROW = 10 * CLUSTER_TRIS  # v1/e1/e2 component blocks + id block
+C_PAD = 128  # cluster count padded for dense (tiles, C) math
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ClusterTables:
+    """Fat-cluster tables (device arrays).
+
+    ``fat``: (C, CLUSTER_ROW) f32 — 10 component-major blocks of 64 slots:
+    [v1.x*64][v1.y*64][v1.z*64][e1.*64 x3][e2.*64 x3][id*64]; id block
+    holds PERMUTED triangle ids (indices into the shared shade table),
+    -1 padding.
+    ``sph``: (C, 4) f32 — bounding sphere [cx, cy, cz, r]; padding rows
+    get far-away spheres that never pass culling.
+    ``rec``: (C*64, 12) f32 — per-(cluster, slot) recovery rows
+    [v1(3) e1(3) e2(3) id pad pad]: one narrow gather decodes the winning
+    slot after the round loop (gathering the 2.5 KB fat row per ray was
+    measured at ~5 ms/wavefront; 48 B rows are issue-bound ~3 ms and skip
+    a 656 MB relayout).
+    ``sup``: (S, 4) f32 — super-spheres, each bounding 64 consecutive
+    clusters. Small enough (S ~ C/64) for an exact per-RAY dense
+    line-sphere test: the per-ray rounds path orders candidate supers
+    from an (n, S) key matrix, and miss-heavy wavefronts prove "no hit
+    anywhere" without touching the tree.
+    ``supblk``: (S, 256) f32 — each super's 64 cluster spheres,
+    component-major [cx*64|cy*64|cz*64|r*64]: ONE 1 KB gather expands a
+    super into its cluster candidates.
+    ``n_clusters``: real (unpadded) cluster count, static.
+    """
+
+    fat: jax.Array
+    sph: jax.Array
+    rec: jax.Array
+    sup: jax.Array
+    supblk: jax.Array
+    n_clusters: int = field(default=0, metadata=dict(static=True))
+
+SUPER_CLUSTERS = 64  # clusters per super-sphere
+
+
+def cut_clusters(bvh: FlatBVH, max_tris: int = CLUSTER_TRIS) -> list[np.ndarray]:
+    """Cut the tree into disjoint subtrees of <= max_tris triangles,
+    returning each cluster's PERMUTED-order triangle slots. Covers every
+    triangle exactly once."""
+    count = bvh.count.astype(np.int64)
+    left, right = bvh.left, bvh.right
+    internal = count == 0
+
+    # subtree triangle counts: bounded fixpoint (tree depth <= 64 for sane
+    # trees; loop until stable for degenerate ones)
+    sub = count.copy()
+    for _ in range(256):
+        new = np.where(internal, sub[left] + sub[right], sub)
+        if np.array_equal(new, sub):
+            break
+        sub = new
+
+    clusters: list[np.ndarray] = []
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        if sub[i] <= max_tris:
+            # collect leaf runs under i
+            slots = []
+            s2 = [i]
+            while s2:
+                j = s2.pop()
+                if count[j] > 0:
+                    slots.append(np.arange(bvh.first[j], bvh.first[j] + count[j]))
+                else:
+                    s2 += [left[j], right[j]]
+            clusters.append(np.concatenate(slots))
+        else:
+            stack += [left[i], right[i]]
+    return clusters
+
+
+def pack_clusters(bvh: FlatBVH, verts: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+    """Pack fat cluster rows + bounding spheres.
+
+    ``verts``: (T, 3, 3) in ORIGINAL order; ``bvh.perm`` is applied here
+    (ids stored are permuted slots, matching the shade table order built
+    by ``pack_bvh``). Returns (fat, sph, n_clusters) numpy arrays.
+    """
+    v = np.asarray(verts, np.float64).reshape(-1, 3, 3)[bvh.perm]
+    clusters = cut_clusters(bvh)
+    c = len(clusters)
+    c_pad = max(C_PAD, -(-c // C_PAD) * C_PAD)
+
+    # (C, 64) slot matrix, then everything vectorizes
+    slot_mat = np.full((c_pad, CLUSTER_TRIS), -1, np.int64)
+    for ci, slots in enumerate(clusters):
+        slot_mat[ci, : len(slots)] = slots
+    valid = slot_mat >= 0
+    tri = v[np.where(valid, slot_mat, 0)]  # (C, 64, 3, 3)
+    v1 = tri[:, :, 0]
+    e1 = tri[:, :, 1] - v1
+    e2 = tri[:, :, 2] - v1
+
+    fat = np.zeros((c_pad, 10, CLUSTER_TRIS), np.float64)
+    for comp, vals in enumerate(
+        (v1[..., 0], v1[..., 1], v1[..., 2], e1[..., 0], e1[..., 1], e1[..., 2],
+         e2[..., 0], e2[..., 1], e2[..., 2])
+    ):
+        fat[:, comp] = np.where(valid, vals, 0.0)
+    fat[:, 9] = slot_mat
+    fat = fat.reshape(c_pad, CLUSTER_ROW).astype(np.float32)
+
+    # padding clusters: far away, zero radius -> never pass culling
+    sph = np.zeros((c_pad, 4), np.float32)
+    sph[:, 0:3] = 1e30
+    # real clusters always have >= 1 valid slot, so nan-reduces are safe
+    pts = np.where(valid[:c, :, None, None], tri[:c], np.nan).reshape(c, -1, 3)
+    center = 0.5 * (np.nanmin(pts, axis=1) + np.nanmax(pts, axis=1))
+    r = np.sqrt(np.nanmax(np.nan_to_num((pts - center[:, None]) ** 2,
+                                        nan=0.0).sum(-1), axis=1))
+    sph[:c, 0:3] = center
+    # inflate for f32 rounding in the device-side interval culling
+    sph[:c, 3] = r * (1.0 + 1e-5) + 1e-6
+
+    rec = np.zeros((c_pad * CLUSTER_TRIS, 12), np.float32)
+    rec[:, 0:3] = np.where(valid[..., None], v1, 0.0).reshape(-1, 3)
+    rec[:, 3:6] = np.where(valid[..., None], e1, 0.0).reshape(-1, 3)
+    rec[:, 6:9] = np.where(valid[..., None], e2, 0.0).reshape(-1, 3)
+    rec[:, 9] = slot_mat.reshape(-1)
+
+    # super-spheres over groups of SUPER_CLUSTERS consecutive clusters
+    # (tree order = spatially coherent); padding supers never pass
+    s = -(-c // SUPER_CLUSTERS)
+    s_pad = max(128, -(-s // 128) * 128)
+    sup = np.zeros((s_pad, 4), np.float32)
+    sup[:, 0:3] = 1e30
+    cc = sph[:c, 0:3].astype(np.float64)
+    cr = sph[:c, 3].astype(np.float64)
+    for si in range(s):
+        seg = slice(si * SUPER_CLUSTERS, min((si + 1) * SUPER_CLUSTERS, c))
+        lo = (cc[seg] - cr[seg, None]).min(0)
+        hi = (cc[seg] + cr[seg, None]).max(0)
+        center = 0.5 * (lo + hi)
+        rad = (np.linalg.norm(cc[seg] - center, axis=1) + cr[seg]).max()
+        sup[si, 0:3] = center
+        sup[si, 3] = rad * (1.0 + 1e-5) + 1e-6
+
+    # per-super cluster-sphere blocks, component-major
+    sph_full = np.zeros((s_pad * SUPER_CLUSTERS, 4), np.float32)
+    sph_full[:, 0:3] = 1e30
+    sph_full[: len(sph)] = sph
+    supblk = (
+        sph_full.reshape(s_pad, SUPER_CLUSTERS, 4)
+        .transpose(0, 2, 1)
+        .reshape(s_pad, 4 * SUPER_CLUSTERS)
+        .copy()
+    )
+    return fat, sph, rec, sup, supblk, c

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import sampling
+from ..dtypes import DTYPE
 from ..intersect import closest_hit, occluded
 from ..materials import bsdf, sample_f
 from ..ray import Ray
@@ -50,8 +51,25 @@ def _sanitize(pos: Vec3, mask) -> Vec3:
     return where(mask, pos, zero)
 
 
-def sample_lights(scene, tables, mat, pos: Vec3, n: Vec3, wo: Vec3, keys) -> Vec3:
-    """renderer.rs:362-409 — NEE for a surface point."""
+# dead lanes trace this ray instead of garbage from sanitized origins:
+# far outside every scene, pointing away — every traversal path (analytic,
+# tiled culling, tree root box) rejects it in O(1). Results of dead lanes
+# are discarded anyway; only their COST matters (a dead lane carrying a
+# stale/zeroed origin inside the mesh was measured to re-traverse the
+# whole BVH every level).
+_DEAD_POS = 1e7
+
+
+def _dead_ray_fields(n):
+    far = jnp.full(n, jnp.asarray(_DEAD_POS, DTYPE))
+    up = jnp.ones(n, DTYPE)
+    return Vec3(far, far, far), Vec3(jnp.zeros(n, DTYPE), up, jnp.zeros(n, DTYPE))
+
+
+def sample_lights(scene, tables, mat, pos: Vec3, n: Vec3, wo: Vec3, keys,
+                  mask=None) -> Vec3:
+    """renderer.rs:362-409 — NEE for a surface point. ``mask`` marks lanes
+    whose result is consumed; shadow queries are disabled on the rest."""
     from ..lights import illuminate
 
     color = Vec3.zeros(jnp.shape(pos.x))
@@ -61,14 +79,15 @@ def sample_lights(scene, tables, mat, pos: Vec3, n: Vec3, wo: Vec3, keys) -> Vec
             continue
         lkeys = sampling.fold(keys, 0x1100 + li)
         intensity, wi, dist = illuminate(lstat, ltab, pos, lkeys)
-        visible = _shadow_visible(scene, tables, pos, wi, dist)
+        visible = _shadow_visible(scene, tables, pos, wi, dist, mask)
         f = bsdf(mat, n, wo, wi)
         contrib = f * intensity * wi.dot(n)
         color = color + where(visible, contrib, Vec3.zeros(jnp.shape(pos.x)))
     return color
 
 
-def sample_lights_for_media(scene, tables, medium, pos: Vec3, wo: Vec3, keys) -> Vec3:
+def sample_lights_for_media(scene, tables, medium, pos: Vec3, wo: Vec3, keys,
+                            mask=None) -> Vec3:
     """renderer.rs:325-359 — NEE for a medium scattering point."""
     from ..lights import illuminate
 
@@ -82,16 +101,20 @@ def sample_lights_for_media(scene, tables, medium, pos: Vec3, wo: Vec3, keys) ->
             continue
         lkeys = sampling.fold(keys, 0x1100 + li)
         intensity, wi, dist = illuminate(lstat, ltab, pos, lkeys)
-        visible = _shadow_visible(scene, tables, pos, wi, dist)
+        visible = _shadow_visible(scene, tables, pos, wi, dist, mask)
         ph = medium.phase(wo, wi)
         contrib = intensity * medium_color * ((scat / ext) * ph)
         color = color + where(visible, contrib, Vec3.zeros(jnp.shape(pos.x)))
     return color
 
 
-def _shadow_visible(scene, tables, pos: Vec3, wi: Vec3, dist):
-    """True where no occluder lies strictly between ``pos`` and the light."""
+def _shadow_visible(scene, tables, pos: Vec3, wi: Vec3, dist, mask=None):
+    """True where no occluder lies strictly between ``pos`` and the light.
+    Lanes with ``mask`` False get limit -1: every traversal path rejects
+    them in O(1) (their visibility result is discarded by the caller)."""
     limit = dist * (1.0 - scene.shadow_eps)
+    if mask is not None:
+        limit = jnp.where(mask, limit, -1.0)
     return ~occluded(scene, tables, Ray(pos, wi), limit)
 
 
@@ -124,7 +147,8 @@ def trace_surface(scene, tables, ray: Ray, keys, max_bounces: int,
         zero = Vec3.zeros(n)
         emit = mat.color_query() * mat.emittance_query()
         emit = where((b == 0) & hitmask, emit, zero)
-        nee = sample_lights(scene, tables, mat, pos, hit.normal, wo, sampling.fold(kb, 2))
+        nee = sample_lights(scene, tables, mat, pos, hit.normal, wo,
+                            sampling.fold(kb, 2), mask=hitmask)
         env = scene.env_color(tables, ray.dir)
         contrib = emit + where(hitmask, nee, zero) + where(missmask, env, zero)
 
@@ -135,7 +159,8 @@ def trace_surface(scene, tables, ray: Ray, keys, max_bounces: int,
         factor = f * (jnp.abs(wi.dot(hit.normal)) / safe_pdf)
         factor = where(bounce_ok, factor, zero)
 
-        new_ray = Ray(pos, wi)
+        dead_pos, dead_dir = _dead_ray_fields(n)
+        new_ray = Ray(where(bounce_ok, pos, dead_pos), where(bounce_ok, wi, dead_dir))
         segments = jnp.sum(alive) + jnp.sum(hitmask) * n_shadow
         return (new_ray, keys_state, bounce_ok), (contrib, factor, segments)
 
@@ -200,9 +225,11 @@ def trace_volumetric(scene, tables, ray: Ray, keys, max_depth: int = 32,
 
         # shared shadow ray: position depends on the event kind
         nee_pos = where(medium_event, collision, surf_pos)
-        nee_surf = sample_lights(scene, tables, mat, nee_pos, hit.normal, wo, sampling.fold(kb, 2))
+        nee_surf = sample_lights(scene, tables, mat, nee_pos, hit.normal, wo,
+                                 sampling.fold(kb, 2), mask=surface_event)
         nee_med = sample_lights_for_media(
-            scene, tables, medium, nee_pos, wo, sampling.fold(kb, 3)
+            scene, tables, medium, nee_pos, wo, sampling.fold(kb, 3),
+            mask=medium_event,
         )
 
         contrib = (
@@ -234,9 +261,10 @@ def trace_volumetric(scene, tables, ray: Ray, keys, max_depth: int = 32,
         cont = survive & (medium_event | (surface_event & valid_s))
         throughput = throughput * where(medium_event, med_factor, surf_factor)
         throughput = where(cont, throughput, zero)
+        dead_pos, dead_dir = _dead_ray_fields(n)
         new_ray = Ray(
-            where(medium_event, collision, surf_pos),
-            where(medium_event, wi_m, wi_s),
+            where(cont, where(medium_event, collision, surf_pos), dead_pos),
+            where(cont, where(medium_event, wi_m, wi_s), dead_dir),
         )
         segments = jnp.sum(alive) + jnp.sum(medium_event | surface_event) * n_shadow
         return (new_ray, keys_state, throughput, L, cont), segments

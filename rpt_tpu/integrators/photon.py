@@ -582,6 +582,9 @@ def volume_estimate_beams(pmap: PhotonMapData, medium, ray: Ray, hit) -> Vec3:
         nn = bdir.broadcast_to(ray.origin.shape).cross(u).normalize()
         t = nn.dot(l) / nn.dot(ray.dir)
         qc = ray.at(t)
+        # t > 0 is a deliberate deviation from photon.rs' beam-beam loop,
+        # which accepts behind-origin intersections (exp(-ext*t), t<0,
+        # amplifies transmittance) — see PARITY.md
         ok = valid_beam & (t < hit_time) & (t > 0.0)
 
         cosb = ray.dir.dot(bdir.broadcast_to(ray.origin.shape))

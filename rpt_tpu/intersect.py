@@ -14,7 +14,7 @@ per-type batches, plus the BVH for all mesh triangles.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
@@ -86,7 +86,7 @@ LEAF_ROW = 80
 # leaf row layout: 10 component blocks of 8 slots:
 #   [v1.x*8][v1.y*8][v1.z*8][e1.x*8][e1.y*8][e1.z*8][e2.x*8][e2.y*8][e2.z*8][id*8]
 SHADE_ROW = 12  # [n1.xyz, n2.xyz, n3.xyz, material, pad, pad]
-STACK_DEPTH = 48
+STACK_DEPTH = 48  # default; real trees carry an exact bound (BVHTables.stack_depth)
 # meta codes: 0 = internal child (ptr = node row), >0 = leaf child with
 # `meta` triangles (ptr = leaf row), <0 = empty child.
 
@@ -100,11 +100,16 @@ class BVHTables:
     ``leaves``: (L, LEAF_ROW) f32 — up to 8 triangles as v1/e1/e2, plus
     their triangle indices (-1 padding).
     ``shade``: (T, SHADE_ROW) f32 — per-triangle vertex normals + material.
+    ``stack_depth``: static exact bound on traversal stack occupancy,
+    computed host-side in pack_bvh (deepest internal node + 1); sizing the
+    one-hot stack to the tree keeps the dense stack ops minimal and makes
+    overflow impossible by construction.
     """
 
     nodes: jax.Array
     leaves: jax.Array
     shade: jax.Array
+    stack_depth: int = field(default=STACK_DEPTH, metadata=dict(static=True))
 
 
 # ---------------------------------------------------------------------------
@@ -417,10 +422,11 @@ def _traverse(bvh: BVHTables, ray: Ray, t_min, limit, best_time, any_hit: bool):
     n = ray.origin.shape[0] if ray.origin.shape else ()
     inv_dir = Vec3.ones(ray.dir.shape) / ray.dir
     nodes, leaves = bvh.nodes, bvh.leaves
+    stack_depth = bvh.stack_depth
 
     def make_body(ray, inv_dir, limit):
         width = ray.origin.shape[0]
-        depth_iota = jax.lax.broadcasted_iota(jnp.int32, (width, STACK_DEPTH), 1)
+        depth_iota = jax.lax.broadcasted_iota(jnp.int32, (width, stack_depth), 1)
         o6 = jnp.concatenate([ray.origin.to_array()] * 2, axis=1)
         inv6 = jnp.concatenate([inv_dir.to_array()] * 2, axis=1)
         return lambda state: _traverse_step(
@@ -444,10 +450,13 @@ def _traverse(bvh: BVHTables, ray: Ray, t_min, limit, best_time, any_hit: bool):
         return jax.lax.while_loop(lambda s: jnp.any(s[0] >= 0), body, state)
 
     z = jnp.zeros(n, DTYPE)
+    # lanes whose limit can't admit any hit (e.g. masked-off shadow rays
+    # with limit -1) never enter the loop
+    cur0 = jnp.where(jnp.broadcast_to(limit, (n,)) > t_min, 0, -1).astype(jnp.int32)
     state = (
+        cur0,
         jnp.zeros(n, jnp.int32),
-        jnp.zeros(n, jnp.int32),
-        jnp.zeros((n, STACK_DEPTH), jnp.int32),
+        jnp.zeros((n, stack_depth), jnp.int32),
         best_time,
         jnp.full(n, -1, jnp.int32),
         z,
@@ -552,18 +561,24 @@ def _traverse_step(state, ray, inv_dir, limit, nodes, leaves, t_min, any_hit, de
     first = jnp.where(want_l & (~want_r | l_near), lptr, rptr)
     second = jnp.where(l_near, rptr, lptr)
 
-    # dense one-hot stack ops (cheaper than XLA scatter/gather on TPU)
-    sp_clamped = jnp.minimum(sp, STACK_DEPTH - 1)
-    at_sp = depth_iota == sp_clamped[:, None]
-    stack = jnp.where(at_sp & both[:, None], second[:, None], stack)
-    sp_after_push = sp + both
+    # dense one-hot stack ops (cheaper than XLA scatter/gather on TPU).
+    # stack depth is an exact host-computed bound (pack_bvh), so overflow
+    # is impossible for well-formed trees; the guards below additionally
+    # make the step safe (drop push / terminate lane) rather than silently
+    # clobbering slots or redirecting to the root on a zero one-hot sum.
+    depth = stack.shape[1]
+    can_push = both & (sp < depth)
+    at_sp = depth_iota == jnp.minimum(sp, depth - 1)[:, None]
+    stack = jnp.where(at_sp & can_push[:, None], second[:, None], stack)
+    sp_after_push = sp + can_push
 
     descend = want_l | want_r
     do_pop = active & ~descend
     at_top = depth_iota == (sp_after_push - 1)[:, None]
     popped = jnp.sum(jnp.where(at_top, stack, 0), axis=1)
+    pop_ok = (sp_after_push > 0) & (sp_after_push <= depth)
     new_cur = jnp.where(
-        ~active, cur, jnp.where(descend, first, jnp.where(sp_after_push > 0, popped, -1))
+        ~active, cur, jnp.where(descend, first, jnp.where(pop_ok, popped, -1))
     )
     new_sp = jnp.where(do_pop, jnp.maximum(sp_after_push - 1, 0), sp_after_push)
     if any_hit:
@@ -611,25 +626,147 @@ def _finish_hit(bvh: BVHTables, best: Hit, time, tri, u, v, w) -> Hit:
     )
 
 
-def bvh_closest_hit(bvh: BVHTables, ray: Ray, t_min, best: Hit) -> Hit:
-    """Closest-hit query via the ordered short-stack traversal. Shading
-    attributes for the winning triangle are fetched once after the loop."""
+# tile path engages only for big meshes and wide wavefronts, where the
+# cluster machinery beats per-ray descent (PERF.md)
+TILED_MIN_RAYS = 4096
+
+
+def _supersphere_possible(sup, ray: Ray, limit) -> jax.Array:
+    """Exact-conservative per-ray miss test against the super-spheres
+    (each bounds 64 clusters): False means the ray provably hits nothing
+    within ``limit``. Incoherent bounce/shadow wavefronts are mostly
+    misses, and this dense ~2 GFLOP pass spares them the tree fallback."""
+    n = ray.origin.shape[0]
+    dlen = ray.dir.length()
+    inv = 1.0 / jnp.where(dlen > 0.0, dlen, 1.0)
+    dn = ray.dir * inv
+    limit_u = jnp.broadcast_to(limit, (n,)) * dlen
+    possible = jnp.zeros(n, bool)
+    S = sup.shape[0]
+    for j in range(0, S, 128):
+        c = sup[j: j + 128]
+        r = c[None, :, 3]
+        mx = c[None, :, 0] - ray.origin.x[:, None]
+        my = c[None, :, 1] - ray.origin.y[:, None]
+        mz = c[None, :, 2] - ray.origin.z[:, None]
+        b = mx * dn.x[:, None] + my * dn.y[:, None] + mz * dn.z[:, None]
+        mm = mx * mx + my * my + mz * mz
+        reach = limit_u[:, None] + r
+        hit = (
+            (mm - b * b <= r * r)
+            & (b + r >= 0.0)
+            & (mm <= reach * reach)
+        )
+        possible = possible | hit.any(axis=1)
+    return possible
+
+
+def _finish_uncertified(bvh, ray, t_min, limit, time, tri, u, v, w, pending,
+                        any_hit: bool):
+    """Run the exact short-stack traversal over the (usually few) lanes the
+    tile path could not certify, in reduced-width fixpoint batches."""
+    n = ray.origin.shape[0]
+    W = max(2048, n // 2)
+    if W >= n:
+        t2, tr2, u2, v2, w2 = _traverse(bvh, ray, t_min, limit, time, any_hit)
+        improved = pending & (t2 < time)
+        return (
+            jnp.where(improved, t2, time),
+            jnp.where(improved, tr2, tri),
+            jnp.where(improved, u2, u),
+            jnp.where(improved, v2, v),
+            jnp.where(improved, w2, w),
+        )
+
+    def cond(s):
+        return jnp.any(s[5])
+
+    def body(s):
+        time, tri, u, v, w, pending = s
+        order = jnp.argsort(~pending)  # pending lanes first (stable)
+        sel = order[:W]
+        sub_ray = Ray(take(ray.origin, sel), take(ray.dir, sel))
+        sub_limit = limit[sel] if jnp.ndim(limit) else limit
+        t2, tr2, u2, v2, w2 = _traverse(
+            bvh, sub_ray, t_min, sub_limit, time[sel], any_hit
+        )
+        improved = pending[sel] & (t2 < time[sel])
+        time = time.at[sel].set(jnp.where(improved, t2, time[sel]))
+        tri = tri.at[sel].set(jnp.where(improved, tr2, tri[sel]))
+        u = u.at[sel].set(jnp.where(improved, u2, u[sel]))
+        v = v.at[sel].set(jnp.where(improved, v2, v[sel]))
+        w = w.at[sel].set(jnp.where(improved, w2, w[sel]))
+        pending = pending.at[sel].set(False)
+        return time, tri, u, v, w, pending
+
+    time, tri, u, v, w, _ = jax.lax.while_loop(
+        cond, body, (time, tri, u, v, w, pending)
+    )
+    return time, tri, u, v, w
+
+
+def bvh_closest_hit(bvh: BVHTables, ray: Ray, t_min, best: Hit,
+                    clusters=None) -> Hit:
+    """Closest-hit query. Big meshes + wide wavefronts take the tile-binned
+    fat-cluster path (rpt_tpu.tiled) with an exact per-ray certificate;
+    everything the certificate can't vouch for — and all other shapes of
+    query — goes through the ordered short-stack traversal. Shading
+    attributes for the winning triangle are fetched once at the end."""
     if bvh.leaves.shape[0] <= DENSE_TRI_ROWS:
         return dense_tri_hit(bvh, ray, t_min, best)
     n = ray.origin.shape[0] if ray.origin.shape else ()
+    if clusters is not None and n and n >= TILED_MIN_RAYS:
+        from .tiled import perray_traverse, tiled_traverse
+
+        time, tri, u, v, w, certified = tiled_traverse(
+            clusters, ray, t_min, INF, best.time, any_hit=False
+        )
+        # incoherent/uncertified lanes: exact per-ray two-level rounds
+        pending = ~certified
+        t2, tr2, u2, v2, w2, done2 = perray_traverse(
+            clusters, ray, t_min, INF, time, any_hit=False, active=pending
+        )
+        improved = pending & (t2 < time)
+        time = jnp.where(improved, t2, time)
+        tri = jnp.where(improved, tr2, tri)
+        u = jnp.where(improved, u2, u)
+        v = jnp.where(improved, v2, v)
+        w = jnp.where(improved, w2, w)
+        # round-cap leftovers (pathological candidate counts): exact tree
+        time, tri, u, v, w = _finish_uncertified(
+            bvh, ray, t_min, jnp.full(n, INF, DTYPE), time, tri, u, v, w,
+            pending & ~done2, any_hit=False,
+        )
+        return _finish_hit(bvh, best, time, tri, u, v, w)
     time, tri, u, v, w = _traverse(
         bvh, ray, t_min, jnp.full(n, INF, DTYPE), best.time, any_hit=False
     )
     return _finish_hit(bvh, best, time, tri, u, v, w)
 
 
-def bvh_any_hit(bvh: BVHTables, ray: Ray, t_min, limit) -> jax.Array:
+def bvh_any_hit(bvh: BVHTables, ray: Ray, t_min, limit, clusters=None) -> jax.Array:
     """True where some triangle lies at t in [t_min, limit) — early-exit
     occlusion query for shadow rays."""
     n = ray.origin.shape[0] if ray.origin.shape else ()
     if bvh.leaves.shape[0] <= DENSE_TRI_ROWS:
         h = dense_tri_hit(bvh, ray, t_min, Hit.none(ray.origin.shape))
         return h.time < limit
+    if clusters is not None and n and n >= TILED_MIN_RAYS:
+        from .tiled import perray_traverse, tiled_traverse
+
+        time, tri, u, v, w, certified = tiled_traverse(
+            clusters, ray, t_min, limit, jnp.full(n, INF, DTYPE), any_hit=True
+        )
+        pending = ~certified
+        t2, _, _, _, _, done2 = perray_traverse(
+            clusters, ray, t_min, limit, time, any_hit=True, active=pending
+        )
+        time = jnp.where(pending & (t2 < time), t2, time)
+        time, _, _, _, _ = _finish_uncertified(
+            bvh, ray, t_min, limit, time, tri, u, v, w, pending & ~done2,
+            any_hit=True,
+        )
+        return time < limit
     time, _, _, _, _ = _traverse(
         bvh, ray, t_min, limit, jnp.full(n, INF, DTYPE), any_hit=True
     )
@@ -659,7 +796,9 @@ def closest_hit(scene, tables, ray: Ray, t_min=None) -> Hit:
     if scene.n_monomials:
         best = intersect_monomials(tables["monomials"], ray, t_min, best)
     if scene.n_tris:
-        best = bvh_closest_hit(tables["bvh"], ray, t_min, best)
+        best = bvh_closest_hit(
+            tables["bvh"], ray, t_min, best, clusters=tables.get("clusters")
+        )
     return best
 
 
@@ -680,5 +819,7 @@ def occluded(scene, tables, ray: Ray, limit, t_min=None) -> jax.Array:
         best = intersect_monomials(tables["monomials"], ray, t_min, best)
     occ = best.time < limit
     if scene.n_tris:
-        occ = occ | bvh_any_hit(tables["bvh"], ray, t_min, limit)
+        occ = occ | bvh_any_hit(
+            tables["bvh"], ray, t_min, limit, clusters=tables.get("clusters")
+        )
     return occ

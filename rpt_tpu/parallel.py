@@ -114,7 +114,10 @@ def shoot_photons_sharded(scene, key, photon_count: int, watts: float, kind: str
     n_dev = int(np.prod(list(mesh.shape.values())))
     per_dev = -(-photon_count // n_dev)
     li, _ = _find_object_light(scene)
-    launch = _shoot_launch(scene, li, watts / photon_count, kind, max_depth, per_dev)
+    # n_dev * per_dev photons are actually emitted (rounded up), so scale
+    # per-photon power by the true emission count — otherwise total flux
+    # exceeds `watts` whenever photon_count % n_dev != 0
+    launch = _shoot_launch(scene, li, watts / (n_dev * per_dev), kind, max_depth, per_dev)
     axes = tuple(mesh.shape.keys())
 
     @partial(

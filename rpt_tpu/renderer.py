@@ -265,6 +265,41 @@ class RayCounter:
         return self.rays / self.seconds / 1e6 if self.seconds else 0.0
 
 
+def _morton2(px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Interleave 16-bit pixel coords -> 32-bit Morton codes."""
+
+    def expand(v):
+        v = (v | (v << 8)) & np.uint32(0x00FF00FF)
+        v = (v | (v << 4)) & np.uint32(0x0F0F0F0F)
+        v = (v | (v << 2)) & np.uint32(0x33333333)
+        v = (v | (v << 1)) & np.uint32(0x55555555)
+        return v
+
+    return (expand(py.astype(np.uint32)) << np.uint32(1)) | expand(px.astype(np.uint32))
+
+
+def _pixel_grid(width: int, height: int):
+    """Pixel NDC coordinates in MORTON order, so consecutive wavefront
+    lanes are spatially coherent (the tile-binned traversal groups 256
+    consecutive rays into a beam — rpt_tpu.tiled). Per-pixel RNG streams
+    fold by pixel id, so the rendered image is identical to raster order.
+
+    Returns (xn, yn, pixel_ids, inv) with inv[pixel] = wavefront lane.
+    """
+    n_pix = width * height
+    xs = np.arange(n_pix, dtype=np.int64)
+    px = xs % width
+    py = xs // width
+    perm = np.argsort(_morton2(px, py), kind="stable")
+    inv = np.empty_like(perm)
+    inv[perm] = xs
+    dim = float(max(width, height))
+    # NDC mapping (renderer.rs:174-176): y flipped, aspect via max(w, h)
+    xn = (2.0 * px[perm].astype(np.float64) + 1.0 - width) / dim
+    yn = (2.0 * (height - py[perm]).astype(np.float64) - 1.0 - height) / dim
+    return xn, yn, perm, inv
+
+
 def build_launch(scene: CompiledScene, camera: Camera, width: int, height: int,
                  max_bounces: int, media_max_depth: int, n_samples: int):
     """Build a (jittable, un-jitted) render launch: ``n_samples`` paths per
@@ -275,18 +310,14 @@ def build_launch(scene: CompiledScene, camera: Camera, width: int, height: int,
     """
     n_pix = width * height
     dim = float(max(width, height))
-
-    xs = np.arange(n_pix, dtype=np.int64)
-    px = (xs % width).astype(np.float64)
-    py = (xs // width).astype(np.float64)
-    # NDC mapping (renderer.rs:174-176): y flipped, aspect via max(w, h)
-    xn_np = (2.0 * px + 1.0 - width) / dim
-    yn_np = (2.0 * (height - py) - 1.0 - height) / dim
+    xn_np, yn_np, pixel_ids, inv_np = _pixel_grid(width, height)
 
     def launch(tables, key, sample_index0):
         xn = jnp.asarray(xn_np, DTYPE)
         yn = jnp.asarray(yn_np, DTYPE)
-        pix_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_pix))
+        pix_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.asarray(pixel_ids, jnp.int32)
+        )
 
         def one_sample(acc, s):
             keys = sampling.fold(pix_keys, sample_index0 + s)
@@ -302,29 +333,31 @@ def build_launch(scene: CompiledScene, camera: Camera, width: int, height: int,
 
         acc0 = jnp.zeros((n_pix, 3), jnp.float32)
         total, _ = jax.lax.scan(one_sample, acc0, jnp.arange(n_samples))
-        return total
+        return jnp.take(total, jnp.asarray(inv_np, jnp.int32), axis=0)
 
     return launch
 
 
+@functools.lru_cache(maxsize=16)
 def _photon_launch(scene: CompiledScene, camera: Camera, width: int, height: int,
                    kind: str, gather_size: int, gather_size_volume: int,
                    n_samples: int, occlusion_check: bool):
     """Photon-map camera pass (photon.rs:950-985): one estimate_indirect per
     pixel sample (no camera recursion). Returns a jitted
-    fn(tables, pmap, key) -> (H*W, 3) radiance sum."""
+    fn(tables, pmap, key) -> (H*W, 3) radiance sum, cached per
+    configuration like `_render_launch` (recompiles cost minutes on axon)."""
     from .integrators.photon import estimate_indirect
 
     n_pix = width * height
     dim = float(max(width, height))
-    xs = np.arange(n_pix, dtype=np.int64)
-    xn_np = (2.0 * (xs % width) + 1.0 - width) / dim
-    yn_np = (2.0 * (height - xs // width) - 1.0 - height) / dim
+    xn_np, yn_np, pixel_ids, inv_np = _pixel_grid(width, height)
 
     def launch(tables, pmap, key):
         xn = jnp.asarray(xn_np, DTYPE)
         yn = jnp.asarray(yn_np, DTYPE)
-        pix_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_pix))
+        pix_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.asarray(pixel_ids, jnp.int32)
+        )
 
         def one_sample(acc, s):
             keys = sampling.fold(pix_keys, s)
@@ -339,7 +372,7 @@ def _photon_launch(scene: CompiledScene, camera: Camera, width: int, height: int
 
         acc0 = jnp.zeros((n_pix, 3), jnp.float32)
         total, _ = jax.lax.scan(one_sample, acc0, jnp.arange(n_samples))
-        return total
+        return jnp.take(total, jnp.asarray(inv_np, jnp.int32), axis=0)
 
     return jax.jit(launch)
 

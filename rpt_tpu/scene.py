@@ -22,6 +22,9 @@ import numpy as np
 
 from .accel.bvh import build_bvh, pack_bvh
 from .dtypes import DTYPE
+
+# meshes at/above this size also get fat-cluster tables (tile fast path)
+CLUSTERS_MIN_TRIS = 16384
 from .environment import ColorEnvironment, Hdri
 from .intersect import BVHTables, PlaneSet, PrimSet
 from .lights import (
@@ -212,12 +215,23 @@ def compile_scene(scene: Scene) -> CompiledScene:
         m = np.concatenate(tri_m)
         n_tris = len(v)
         bvh = build_bvh(v.min(1), v.max(1))
-        nodes, leaves, shade = pack_bvh(bvh, v, n, m)
+        nodes, leaves, shade, stack_depth = pack_bvh(bvh, v, n, m)
         tables["bvh"] = BVHTables(
             nodes=jnp.asarray(nodes),
             leaves=jnp.asarray(leaves),
             shade=jnp.asarray(shade),
+            stack_depth=stack_depth,
         )
+        if n_tris >= CLUSTERS_MIN_TRIS:
+            # fat-cluster tables for the tile-binned big-mesh fast path
+            from .accel.clusters import ClusterTables, pack_clusters
+
+            fat, sph, rec, sup, supblk, n_c = pack_clusters(bvh, v)
+            tables["clusters"] = ClusterTables(
+                fat=jnp.asarray(fat), sph=jnp.asarray(sph),
+                rec=jnp.asarray(rec), sup=jnp.asarray(sup),
+                supblk=jnp.asarray(supblk), n_clusters=n_c,
+            )
 
     compiled_lights = []
     light_tabs = []

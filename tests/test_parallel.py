@@ -73,6 +73,43 @@ def test_sharded_photon_shooting():
     assert abs(e8 - e1) / e1 < 0.35
 
 
+def test_sharded_photon_shooting_exact_rows():
+    """Bitwise check: driving the single-device launch with the same
+    per-device key folding must reproduce the sharded row set exactly —
+    a sharding bug cannot hide inside statistical tolerances."""
+    import rpt_tpu.integrators.photon as ph
+    from rpt_tpu.parallel import shoot_photons_sharded
+
+    scene = rpt.Scene()
+    white = rpt.Material.diffuse(rpt.hex_color(0xAAAAAA))
+    floor = rpt.polygon([(0, 0, 0), (0, 0, 10), (10, 0, 10), (10, 0, 0)])
+    light = rpt.polygon([(6, 9.9, 4), (6, 9.9, 6), (4, 9.9, 6), (4, 9.9, 4)])
+    scene.add(rpt.Object(floor).material(white))
+    scene.add((light, rpt.Material.light(rpt.hex_color(0xFFFFFF), 50.0)))
+    cs = scene.compile()
+
+    key = jax.random.key(11)
+    photon_count, watts, max_depth = 1000, 100.0, 48
+    mesh = make_mesh(8, sp=2)
+    s8, v8 = shoot_photons_sharded(
+        cs, key, photon_count, watts, ph.PHOTON_MAP, mesh, max_depth=max_depth
+    )
+
+    n_dev = 8
+    per_dev = -(-photon_count // n_dev)
+    li, _ = ph._find_object_light(cs)
+    launch = ph._shoot_launch(
+        cs, li, watts / (n_dev * per_dev), ph.PHOTON_MAP, max_depth, per_dev
+    )
+    parts = []
+    for dev in range(n_dev):
+        s_buf, s_count, _, _ = launch.raw(cs.tables, jax.random.fold_in(key, dev))
+        parts.append(np.asarray(s_buf)[: min(int(s_count), launch.s_cap)])
+    expected = np.concatenate(parts)
+    assert s8.shape == expected.shape
+    np.testing.assert_array_equal(s8, expected)
+
+
 def test_dp_only_mesh_bitwise_matches_single():
     """Pixel sharding alone must not change any sampled value."""
     scene = _sphere_scene().compile()
