@@ -72,7 +72,7 @@ def build_photon_grid(positions: np.ndarray, k: int, cap: int = 24,
         sample_queries = positions[:: max(1, n // 512)][:512]
 
     best = None
-    for _ in range(5):
+    for _ in range(8):
         dims = np.minimum(np.maximum((span / h).astype(np.int64) + 1, 1), 512)
         while int(np.prod(dims)) > MAX_CELLS:
             h *= 1.5
@@ -96,13 +96,14 @@ def build_photon_grid(positions: np.ndarray, k: int, cap: int = 24,
                     c = np.where(ok, counts[np.clip(ids, 0, counts.size - 1)], 0)
                     capped += np.minimum(c, cap_eff)
         trunc = float(np.mean(capped < min(k, n)))
-        best = (h, dims, inv_h, cell_id, trunc, cap_eff)
-        if trunc <= 0.02:
+        if best is None or trunc < best[4]:
+            best = (h, dims, inv_h, cell_id, trunc, cap_eff)
+        if trunc <= 0.005:  # target: <0.5% of queries see fewer than k
             break
         h *= 1.4
 
     h, dims, inv_h, cell_id, trunc, cap = best
-    if trunc > 0.05:
+    if trunc > 0.01:
         import sys
 
         print(

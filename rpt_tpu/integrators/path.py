@@ -111,7 +111,18 @@ def sample_lights_for_media(scene, tables, medium, pos: Vec3, wo: Vec3, keys,
 def _shadow_visible(scene, tables, pos: Vec3, wi: Vec3, dist, mask=None):
     """True where no occluder lies strictly between ``pos`` and the light.
     Lanes with ``mask`` False get limit -1: every traversal path rejects
-    them in O(1) (their visibility result is discarded by the caller)."""
+    them in O(1) (their visibility result is discarded by the caller).
+
+    ``scene.nee_mode == "exact"`` instead reproduces renderer.rs:395-396
+    literally: accept only when the CLOSEST hit lies at the light distance
+    (which rejects every sample of a light whose geometry is not also in
+    scene.objects) — used to quantify the deviation, see PARITY.md."""
+    if scene.nee_mode == "exact":
+        hit = closest_hit(scene, tables, Ray(pos, wi))
+        ok = hit.valid & (jnp.abs(hit.time - dist) < scene.shadow_eps * dist)
+        if mask is not None:
+            ok &= mask
+        return ok
     limit = dist * (1.0 - scene.shadow_eps)
     if mask is not None:
         limit = jnp.where(mask, limit, -1.0)

@@ -331,8 +331,10 @@ def _leaf_rows_test(leaf, do_leaf, count, ray, t_min, time, tri, bu, bv, bw):
     d0 = e1 = v2-v1, d1 = e2 = v3-v1, on (n, 8) arrays; the per-lane best
     slot is selected with a one-hot reduction.
     """
-    # one relayout, then component extraction is a cheap sublane slice
-    leaf3 = leaf.reshape(leaf.shape[0], 10, LEAF_TRIS)
+    # one relayout, then component extraction is a cheap sublane slice.
+    # slot count derives from the row width: 8 for tri-leaf rows, 64 for
+    # fat cluster rows (the fat-leaf cluster BVH of big meshes)
+    leaf3 = leaf.reshape(leaf.shape[0], 10, leaf.shape[1] // 10)
 
     def block(c):  # -> (n, 8)
         return leaf3[:, c, :]
@@ -400,7 +402,8 @@ def _leaf_rows_test(leaf, do_leaf, count, ray, t_min, time, tri, bu, bv, bw):
 COMPACT_STAGES = ((24, 2), (24, 8))
 
 
-def _traverse(bvh: BVHTables, ray: Ray, t_min, limit, best_time, any_hit: bool):
+def _traverse(bvh: BVHTables, ray: Ray, t_min, limit, best_time, any_hit: bool,
+              active=None):
     """Ordered short-stack traversal over pair-packed nodes, with staged
     survivor compaction.
 
@@ -451,8 +454,13 @@ def _traverse(bvh: BVHTables, ray: Ray, t_min, limit, best_time, any_hit: bool):
 
     z = jnp.zeros(n, DTYPE)
     # lanes whose limit can't admit any hit (e.g. masked-off shadow rays
-    # with limit -1) never enter the loop
-    cur0 = jnp.where(jnp.broadcast_to(limit, (n,)) > t_min, 0, -1).astype(jnp.int32)
+    # with limit -1) — or that the caller masked off — never enter the
+    # loop; the staged compaction then shrinks the wavefront immediately,
+    # so a mostly-masked full-width call costs ~its active fraction
+    live0 = jnp.broadcast_to(limit, (n,)) > t_min
+    if active is not None:
+        live0 = live0 & active
+    cur0 = jnp.where(live0, 0, -1).astype(jnp.int32)
     state = (
         cur0,
         jnp.zeros(n, jnp.int32),
@@ -631,34 +639,9 @@ def _finish_hit(bvh: BVHTables, best: Hit, time, tri, u, v, w) -> Hit:
 TILED_MIN_RAYS = 4096
 
 
-def _supersphere_possible(sup, ray: Ray, limit) -> jax.Array:
-    """Exact-conservative per-ray miss test against the super-spheres
-    (each bounds 64 clusters): False means the ray provably hits nothing
-    within ``limit``. Incoherent bounce/shadow wavefronts are mostly
-    misses, and this dense ~2 GFLOP pass spares them the tree fallback."""
-    n = ray.origin.shape[0]
-    dlen = ray.dir.length()
-    inv = 1.0 / jnp.where(dlen > 0.0, dlen, 1.0)
-    dn = ray.dir * inv
-    limit_u = jnp.broadcast_to(limit, (n,)) * dlen
-    possible = jnp.zeros(n, bool)
-    S = sup.shape[0]
-    for j in range(0, S, 128):
-        c = sup[j: j + 128]
-        r = c[None, :, 3]
-        mx = c[None, :, 0] - ray.origin.x[:, None]
-        my = c[None, :, 1] - ray.origin.y[:, None]
-        mz = c[None, :, 2] - ray.origin.z[:, None]
-        b = mx * dn.x[:, None] + my * dn.y[:, None] + mz * dn.z[:, None]
-        mm = mx * mx + my * my + mz * mz
-        reach = limit_u[:, None] + r
-        hit = (
-            (mm - b * b <= r * r)
-            & (b + r >= 0.0)
-            & (mm <= reach * reach)
-        )
-        possible = possible | hit.any(axis=1)
-    return possible
+# NB: a dense per-ray super-sphere miss cull was tried here and removed —
+# every bounce/shadow ray starts ON the mesh inside its own super-sphere,
+# so it culled ~nothing (PERF.md, incoherent-wavefront wall).
 
 
 def _finish_uncertified(bvh, ray, t_min, limit, time, tri, u, v, w, pending,
@@ -668,7 +651,9 @@ def _finish_uncertified(bvh, ray, t_min, limit, time, tri, u, v, w, pending,
     n = ray.origin.shape[0]
     W = max(2048, n // 2)
     if W >= n:
-        t2, tr2, u2, v2, w2 = _traverse(bvh, ray, t_min, limit, time, any_hit)
+        t2, tr2, u2, v2, w2 = _traverse(
+            bvh, ray, t_min, limit, time, any_hit, active=pending
+        )
         improved = pending & (t2 < time)
         return (
             jnp.where(improved, t2, time),
@@ -687,8 +672,11 @@ def _finish_uncertified(bvh, ray, t_min, limit, time, tri, u, v, w, pending,
         sel = order[:W]
         sub_ray = Ray(take(ray.origin, sel), take(ray.dir, sel))
         sub_limit = limit[sel] if jnp.ndim(limit) else limit
+        # filler (non-pending) lanes in the batch are masked dead — they
+        # must not re-traverse or extend the batch's round count
         t2, tr2, u2, v2, w2 = _traverse(
-            bvh, sub_ray, t_min, sub_limit, time[sel], any_hit
+            bvh, sub_ray, t_min, sub_limit, time[sel], any_hit,
+            active=pending[sel],
         )
         improved = pending[sel] & (t2 < time[sel])
         time = time.at[sel].set(jnp.where(improved, t2, time[sel]))
@@ -716,26 +704,17 @@ def bvh_closest_hit(bvh: BVHTables, ray: Ray, t_min, best: Hit,
         return dense_tri_hit(bvh, ray, t_min, best)
     n = ray.origin.shape[0] if ray.origin.shape else ()
     if clusters is not None and n and n >= TILED_MIN_RAYS:
-        from .tiled import perray_traverse, tiled_traverse
+        from .tiled import tiled_traverse
 
         time, tri, u, v, w, certified = tiled_traverse(
             clusters, ray, t_min, INF, best.time, any_hit=False
         )
-        # incoherent/uncertified lanes: exact per-ray two-level rounds
-        pending = ~certified
-        t2, tr2, u2, v2, w2, done2 = perray_traverse(
-            clusters, ray, t_min, INF, time, any_hit=False, active=pending
-        )
-        improved = pending & (t2 < time)
-        time = jnp.where(improved, t2, time)
-        tri = jnp.where(improved, tr2, tri)
-        u = jnp.where(improved, u2, u)
-        v = jnp.where(improved, v2, v)
-        w = jnp.where(improved, w2, w)
-        # round-cap leftovers (pathological candidate counts): exact tree
+        # incoherent/uncertified lanes: exact masked tree traversal (the
+        # per-ray rounds path was measured slightly slower than the tree
+        # on bounce wavefronts — kept in rpt_tpu.tiled for future use)
         time, tri, u, v, w = _finish_uncertified(
             bvh, ray, t_min, jnp.full(n, INF, DTYPE), time, tri, u, v, w,
-            pending & ~done2, any_hit=False,
+            ~certified, any_hit=False,
         )
         return _finish_hit(bvh, best, time, tri, u, v, w)
     time, tri, u, v, w = _traverse(
@@ -752,18 +731,13 @@ def bvh_any_hit(bvh: BVHTables, ray: Ray, t_min, limit, clusters=None) -> jax.Ar
         h = dense_tri_hit(bvh, ray, t_min, Hit.none(ray.origin.shape))
         return h.time < limit
     if clusters is not None and n and n >= TILED_MIN_RAYS:
-        from .tiled import perray_traverse, tiled_traverse
+        from .tiled import tiled_traverse
 
         time, tri, u, v, w, certified = tiled_traverse(
             clusters, ray, t_min, limit, jnp.full(n, INF, DTYPE), any_hit=True
         )
-        pending = ~certified
-        t2, _, _, _, _, done2 = perray_traverse(
-            clusters, ray, t_min, limit, time, any_hit=True, active=pending
-        )
-        time = jnp.where(pending & (t2 < time), t2, time)
         time, _, _, _, _ = _finish_uncertified(
-            bvh, ray, t_min, limit, time, tri, u, v, w, pending & ~done2,
+            bvh, ray, t_min, limit, time, tri, u, v, w, ~certified,
             any_hit=True,
         )
         return time < limit

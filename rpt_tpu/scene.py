@@ -113,7 +113,13 @@ class CompiledScene:
     t_min: float  # scale-aware ray epsilon (reference: 1e-12 in f64)
     shadow_eps: float  # relative tolerance of the shadow-visibility test
     scale: float  # scene diameter estimate
-    tables: dict = field(compare=False, repr=False)
+    # "occlusion": standard no-occluder-strictly-closer test (default).
+    # "exact": the reference's literal semantics (renderer.rs:395-396) —
+    # accept NEE only when the CLOSEST hit lies at the light distance,
+    # which rejects all samples of lights whose geometry is not dual-added
+    # to scene.objects. Kept for quantifying the deviation (PARITY.md).
+    nee_mode: str = "occlusion"
+    tables: dict = field(compare=False, repr=False, default=None)
 
     def env_color(self, tables, direction) -> Vec3:
         return self.environment.get_color(tables["env"], direction)
@@ -226,12 +232,20 @@ def compile_scene(scene: Scene) -> CompiledScene:
             # fat-cluster tables for the tile-binned big-mesh fast path
             from .accel.clusters import ClusterTables, pack_clusters
 
-            fat, sph, rec, sup, supblk, n_c = pack_clusters(bvh, v)
+            fat, sph, rec, sup, supblk, (bb_lo, bb_hi, tri_counts), n_c = (
+                pack_clusters(bvh, v)
+            )
+            fat_dev = jnp.asarray(fat)
             tables["clusters"] = ClusterTables(
-                fat=jnp.asarray(fat), sph=jnp.asarray(sph),
+                fat=fat_dev, sph=jnp.asarray(sph),
                 rec=jnp.asarray(rec), sup=jnp.asarray(sup),
                 supblk=jnp.asarray(supblk), n_clusters=n_c,
             )
+            # NB a fat-leaf cluster tree (pack_cluster_bvh) was measured
+            # SLOWER end-to-end (0.33 vs 0.53 Mrays/s): masked 2.5 KB leaf
+            # gathers still issue at full wavefront width every step. The
+            # tri-leaf tree stays; deferred-leaf traversal is the round-3
+            # idea (PERF.md).
 
     compiled_lights = []
     light_tabs = []
@@ -266,6 +280,7 @@ def compile_scene(scene: Scene) -> CompiledScene:
         t_min=t_min,
         shadow_eps=1e-3,
         scale=scale,
+        nee_mode=getattr(scene, "nee_mode", "occlusion"),
         tables=tables,
     )
 

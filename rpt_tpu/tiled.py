@@ -400,8 +400,10 @@ def tiled_traverse(ct: ClusterTables, ray: Ray, t_min, limit, best_time,
 #   super's bound and the next untested cluster's bound — exact, and
 #   reached quickly for misses too (supers exhaust in a few rounds).
 
-PERRAY_STAGES = ((10, 1), (16, 2))
-PERRAY_FIX_DIV = 8
+# tuned to the measured live-lane decay on bounce wavefronts (flat ~100%
+# for ~7 rounds — overlapping super volumes — then halving every ~6)
+PERRAY_STAGES = ((8, 1), (8, 2))
+PERRAY_FIX_DIV = 4
 PERRAY_FIX_CAP = 256
 
 
@@ -528,8 +530,13 @@ def perray_traverse(ct: ClusterTables, ray: Ray, t_min, limit, best_time,
             thresh_c = jnp.where(adv, -1, thresh_c)
             thresh_s = jnp.where(adv, s_key, thresh_s)
 
-            # test the next pending cluster (lanes not advancing)
-            test = ~done & ~c_exh & ~adv
+            # test the next pending cluster — re-extracted AFTER expansion,
+            # so a lane that just expanded a super tests its first cluster
+            # in the same round (one cluster per round otherwise doubles
+            # the round count: rounds ~= supers + clusters per ray)
+            masked_c = jnp.where(keys_c > thresh_c[:, None], keys_c, KEY_MAX)
+            c_key = masked_c.min(axis=1)
+            test = ~done & (c_key != KEY_MAX)
             cid = c_key & cmask
             fat_rows = jnp.take(ct.fat, jnp.where(test, cid, 0), axis=0)
             o1 = Vec3(o.x[:, None], o.y[:, None], o.z[:, None])

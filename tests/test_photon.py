@@ -38,9 +38,9 @@ def test_knn_matches_brute_force():
     ref = np.sort(dists, axis=1)[:, :k]
     got = np.sort(d2, axis=1)
     # the grid search is exact as long as the k-th NN lies within the 27
-    # neighboring cells; calibration targets that — allow rare misses
+    # neighboring cells; calibration targets <0.5% truncated queries
     close = np.isclose(got, ref, rtol=2e-3, atol=1e-4)
-    assert close.mean() > 0.98
+    assert close.mean() > 0.995
 
 
 def _photon_scene():
