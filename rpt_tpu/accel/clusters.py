@@ -59,6 +59,11 @@ class ClusterTables:
     ``supblk``: (S, 256) f32 — each super's 64 cluster spheres,
     component-major [cx*64|cy*64|cz*64|r*64]: ONE 1 KB gather expands a
     super into its cluster candidates.
+    ``tree``: (K, NODE_ROW) f32 — pair-packed BVH whose leaves are whole
+    clusters (``pack_cluster_bvh``); the deferred-leaf traversal
+    (rpt_tpu.deferred) descends these 64 B rows only, deferring all fat
+    2.5 KB reads to compacted test bursts.
+    ``tree_depth``: static exact stack bound for that tree.
     ``n_clusters``: real (unpadded) cluster count, static.
     """
 
@@ -67,7 +72,9 @@ class ClusterTables:
     rec: jax.Array
     sup: jax.Array
     supblk: jax.Array
+    tree: jax.Array
     n_clusters: int = field(default=0, metadata=dict(static=True))
+    tree_depth: int = field(default=8, metadata=dict(static=True))
 
 SUPER_CLUSTERS = 64  # clusters per super-sphere
 
@@ -191,6 +198,109 @@ def pack_clusters(bvh: FlatBVH, verts: np.ndarray) -> tuple[np.ndarray, np.ndarr
     bb_hi = np.nanmax(pts, axis=1)
     tri_counts = valid[:c].sum(1)
     return fat, sph, rec, sup, supblk, (bb_lo, bb_hi, tri_counts), c
+
+
+WIDE = 8  # children per wide-tree node
+WIDE_ROW = 8 * WIDE  # [minx*8][miny*8][minz*8][maxx*8][maxy*8][maxz*8][ptr*8][meta*8]
+
+
+def pack_wide_cluster_tree(bb_lo, bb_hi, tri_counts):
+    """Collapse the binary cluster BVH into an 8-ary tree of 256 B rows.
+
+    Rationale (measured, PERF.md): XLA's random gather issues at the same
+    ~90 Mrows/s for any row <= 512 B, so one 256 B fetch testing EIGHT
+    children costs what one 64 B pair-packed fetch testing two does.
+    Incoherent bounce rays touch ~25 binary cluster nodes (fat boxes
+    prune weakly); the 8-ary collapse cuts fetches ~2-3x and shrinks the
+    slow-lane tail the same way.
+
+    Row layout (component-major, consumed as coarse lane slices):
+      [0:24)  mins  (x*8 | y*8 | z*8)
+      [24:48) maxs
+      [48:56) ptr   (leaf: cluster id; internal: wide node id)
+      [56:64) meta  (>0: leaf with that many tris, 0: internal, -1: empty)
+
+    Returns (rows, stack_depth) where stack_depth is the exact bound on
+    (row, mask) stack occupancy (<= one push per tree level).
+    """
+    from .bvh import build_bvh
+
+    bvh = build_bvh(bb_lo, bb_hi, leaf_size=1)
+    count = bvh.count.astype(np.int64)
+    left, right = bvh.left.astype(np.int64), bvh.right.astype(np.int64)
+    internal = count == 0
+    # subtree primitive counts (bounded fixpoint, as cut_clusters)
+    sub = count.copy()
+    for _ in range(256):
+        new = np.where(internal, sub[left] + sub[right], sub)
+        if np.array_equal(new, sub):
+            break
+        sub = new
+
+    def expand(i):
+        """Binary node -> up to WIDE subtree roots (greedy: split the
+        biggest remaining internal root until WIDE slots are used)."""
+        if not internal[i]:
+            return [i]
+        roots = [left[i], right[i]]
+        while len(roots) < WIDE:
+            cand = [r for r in roots if internal[r]]
+            if not cand:
+                break
+            big = max(cand, key=lambda r: sub[r])
+            roots.remove(big)
+            roots += [left[big], right[big]]
+        return roots
+
+    rows_children = []  # per wide node: list of binary root ids
+    wide_id = {}
+    queue = [0]
+    wide_id[0] = 0
+    rows_children.append(None)
+    head = 0
+    while head < len(queue):
+        b = queue[head]
+        head += 1
+        ch = expand(b)
+        rows_children[wide_id[b]] = ch
+        for c in ch:
+            if internal[c]:
+                wide_id[c] = len(rows_children)
+                rows_children.append(None)
+                queue.append(c)
+
+    k = len(rows_children)
+    rows = np.zeros((k, WIDE_ROW), np.float32)
+    rows[:, 0:24] = 1e30  # empty slots: inverted boxes never hit
+    rows[:, 24:48] = -1e30
+    rows[:, 56:64] = -1.0  # meta: empty
+    for wi, ch in enumerate(rows_children):
+        for s, c in enumerate(ch):
+            for a in range(3):
+                rows[wi, a * WIDE + s] = bvh.bb_min[c][a]
+                rows[wi, 24 + a * WIDE + s] = bvh.bb_max[c][a]
+            if internal[c]:
+                rows[wi, 48 + s] = wide_id[c]
+                rows[wi, 56 + s] = 0.0
+            else:
+                cl = bvh.perm[bvh.first[c]]  # leaf_size=1: one cluster
+                rows[wi, 48 + s] = cl
+                rows[wi, 56 + s] = tri_counts[cl]
+
+    # exact stack bound: deepest wide node + 1 (<= one push per level)
+    depth = np.zeros(k, np.int64)
+    changed = True
+    while changed:
+        changed = False
+        for wi, ch in enumerate(rows_children):
+            for c in ch:
+                if internal[c]:
+                    ci = wide_id[c]
+                    if depth[ci] < depth[wi] + 1:
+                        depth[ci] = depth[wi] + 1
+                        changed = True
+    stack_depth = max(8, int(-(-(int(depth.max()) + 2) // 8) * 8))
+    return rows, stack_depth
 
 
 def pack_cluster_bvh(bb_lo, bb_hi, tri_counts):

@@ -1,15 +1,28 @@
-"""Uniform hash-grid k-nearest-neighbor queries for photon maps.
+"""Two-level uniform-grid k-nearest-neighbor queries for photon maps.
 
 Replaces the reference's `kd_tree::KdTree::nearests` photon lookups
-(`/root/reference/src/photon.rs:329-342,401-413`): recursive kd descent per
-query cannot map to a vector machine. Instead photons are counting-sorted
-into a uniform grid on the host; a device query gathers the candidates of
-the 27 neighboring cells (as contiguous index ranges with a static per-cell
-cap) and selects the k nearest with ``lax.top_k``.
+(`/root/reference/src/photon.rs:329-342,401-413`): recursive kd descent
+per query cannot map to a vector machine. The TPU design is dense and
+multi-pass, sized for CLUSTERED photon clouds (a lamp concentrates most
+photons in a small volume while strays land on distant walls — no single
+cell size serves both):
 
-The cell size is auto-calibrated so the 3x3x3 neighborhood almost always
-contains >= k photons (host refinement loop over a query sample); capacity
-misses are counted and reported, never silently dropped.
+* a **fine grid** calibrated to the dense bulk: cell size chosen so the
+  99th-percentile 27-cell candidate count stays within a bounded packed
+  window. A query packs the 27 neighboring cells' contiguous index runs
+  into one tight (n, total_cap) window (gathering only real rows — no
+  per-cell-cap padding) and takes the k nearest with ``lax.top_k``.
+* queries whose k-th distance exceeds the 3x3x3 box's guaranteed h-ball
+  re-run against the fine grid's **5x5x5 box** (coverage 2h).
+* queries still uncovered (sparse-region strays) re-run against a
+  **coarse grid** calibrated so its 27-cell box holds >= k photons for
+  >= 99.5% of samples — compacted to the flagged lanes first, since
+  coarse windows are wide.
+
+Every pass's window bound comes from sampled totals at build time;
+overflows lose the FARTHEST cells' candidates and the residual
+approximation (k-th distance beyond the last pass's coverage ball) is
+measured in tests/test_photon.py, never silently ignored.
 """
 
 from __future__ import annotations
@@ -24,18 +37,32 @@ from ..dtypes import DTYPE
 from ..vec import Vec3
 
 MAX_CELLS = 4_000_000
+FINE_WINDOW = 768  # target bound on the fine 27-cell packed window
 
 
 @dataclass(frozen=True)
 class PhotonGridStatic:
-    """Host-side grid metadata (static for jit)."""
+    """Host-side two-level grid metadata (static for jit).
+
+    Fine grid: ``origin/inv_h/dims/h/total_cap`` (27-cell window) and
+    ``total_cap2`` (5x5x5 window). Coarse grid: ``inv_h2/dims2/h2/
+    total_cap3`` (shares ``origin``); ``total_cap3 == 0`` disables the
+    coarse pass (uniform clouds where the fine grid already covers).
+    ``h`` / ``2h`` / ``h2`` are the passes' guaranteed-coverage radii: a
+    k-th distance within the radius proves that pass's result exact."""
 
     origin: tuple
     inv_h: float
     dims: tuple  # (nx, ny, nz)
-    cap: int  # per-cell candidate cap
     n_photons: int
-    truncation_rate: float  # fraction of sample queries with < k in 27 cells
+    truncation_rate: float  # sampled: fraction not covered by ANY pass
+    total_cap: int = 768
+    h: float = 0.0
+    total_cap2: int = 0
+    inv_h2: float = 1.0
+    dims2: tuple = (1, 1, 1)
+    h2: float = 0.0
+    total_cap3: int = 0
 
 
 def _cell_coords(pos: np.ndarray, origin, inv_h, dims):
@@ -43,95 +70,254 @@ def _cell_coords(pos: np.ndarray, origin, inv_h, dims):
     return np.clip(c, 0, np.asarray(dims) - 1)
 
 
+def _box_totals(qc: np.ndarray, counts: np.ndarray, dims, rad: int):
+    """Per sampled query: photon count in the (2rad+1)^3 cell box."""
+    totals = np.zeros(len(qc), np.int64)
+    for dx in range(-rad, rad + 1):
+        for dy in range(-rad, rad + 1):
+            for dz in range(-rad, rad + 1):
+                nb = qc + [dx, dy, dz]
+                ok = ((nb >= 0) & (nb < dims)).all(1)
+                ids = (nb[:, 0] * dims[1] + nb[:, 1]) * dims[2] + nb[:, 2]
+                totals += np.where(ok, counts[np.clip(ids, 0, counts.size - 1)], 0)
+    return totals
+
+
+def _grid_for(positions, lo, span, h):
+    # keep h >= span/512 so the per-axis 512-cell cap never makes
+    # _cell_coords collapse the tail of an axis into its last cell
+    h = max(h, float(np.max(span)) / 512.0)
+    dims = np.minimum(np.maximum((span / h).astype(np.int64) + 1, 1), 512)
+    while int(np.prod(dims)) > MAX_CELLS:
+        h *= 1.5
+        dims = np.minimum(np.maximum((span / h).astype(np.int64) + 1, 1), 512)
+    inv_h = 1.0 / h
+    cc = _cell_coords(positions, lo, inv_h, dims)
+    cell_id = (cc[:, 0] * dims[1] + cc[:, 1]) * dims[2] + cc[:, 2]
+    counts = np.bincount(cell_id, minlength=int(np.prod(dims)))
+    return h, dims, inv_h, cell_id, counts
+
+
+def _window(totals, k, n, hi):
+    w = int(np.percentile(totals, 99.0) * 1.3 + 8) if totals.size else hi
+    return int(np.clip(-(-w // 8) * 8, min(k, n) + 8, hi))
+
+
 def build_photon_grid(positions: np.ndarray, k: int, cap: int = 24,
                       sample_queries: np.ndarray | None = None):
-    """Build a uniform grid over photon positions, calibrated for k-NN.
+    """Build the two-level photon grid, calibrated for k-NN.
 
-    Returns (static, tables) where tables = {"starts": (C+1,), "order":
-    (P,)} device arrays; photon payload arrays should be sorted by
-    ``order`` by the caller.
-    """
+    Returns (static, tables); tables = {"starts", "order", "starts2",
+    "map2"} device arrays. Photon payload arrays must be sorted by
+    ``order`` by the caller; ``map2`` maps coarse-sorted slots to
+    fine-sorted slots (the coarse pass returns indices through it).
+    ``cap`` is kept for API compatibility (unused)."""
     positions = np.asarray(positions, np.float64).reshape(-1, 3)
     n = len(positions)
     if n == 0:
-        static = PhotonGridStatic((0, 0, 0), 1.0, (1, 1, 1), cap, 0, 0.0)
+        static = PhotonGridStatic((0, 0, 0), 1.0, (1, 1, 1), 0, 0.0)
+        z = jnp.zeros(2, jnp.int32)
         return static, {
-            "starts": jnp.zeros(2, jnp.int32),
-            "order": jnp.zeros(0, jnp.int32),
+            "starts": z, "order": jnp.zeros(0, jnp.int32),
+            "starts2": z, "map2": jnp.zeros(0, jnp.int32),
         }
 
     lo = positions.min(0)
     hi = positions.max(0)
     span = np.maximum(hi - lo, 1e-9)
     vol = float(np.prod(span))
-    # initial guess: ~2.5k photons in a 3x3x3 neighborhood (uniform density)
-    h = (vol * 2.5 * k / (27.0 * n)) ** (1.0 / 3.0)
-    h = max(h, 1e-9)
+    k_eff = min(k, n)
 
     if sample_queries is None:
         sample_queries = positions[:: max(1, n // 512)][:512]
+    sq = np.asarray(sample_queries, np.float64)
 
-    best = None
-    for _ in range(8):
-        dims = np.minimum(np.maximum((span / h).astype(np.int64) + 1, 1), 512)
-        while int(np.prod(dims)) > MAX_CELLS:
-            h *= 1.5
-            dims = np.minimum(np.maximum((span / h).astype(np.int64) + 1, 1), 512)
-        inv_h = 1.0 / h
-        cc = _cell_coords(positions, lo, inv_h, dims)
-        cell_id = (cc[:, 0] * dims[1] + cc[:, 1]) * dims[2] + cc[:, 2]
-        counts = np.bincount(cell_id, minlength=int(np.prod(dims)))
-        # candidate cap: 99th percentile of occupied cells (bounded)
-        occupied = counts[counts > 0]
-        cap_eff = int(np.clip(np.percentile(occupied, 99.0), 4, 32)) if occupied.size else cap
-        # sample-based truncation check: photons found in 27 cells per query
-        qc = _cell_coords(np.asarray(sample_queries, np.float64), lo, inv_h, dims)
-        capped = np.zeros(len(qc), np.int64)
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for dz in (-1, 0, 1):
-                    nb = qc + [dx, dy, dz]
-                    ok = ((nb >= 0) & (nb < dims)).all(1)
-                    ids = (nb[:, 0] * dims[1] + nb[:, 1]) * dims[2] + nb[:, 2]
-                    c = np.where(ok, counts[np.clip(ids, 0, counts.size - 1)], 0)
-                    capped += np.minimum(c, cap_eff)
-        trunc = float(np.mean(capped < min(k, n)))
-        if best is None or trunc < best[4]:
-            best = (h, dims, inv_h, cell_id, trunc, cap_eff)
-        if trunc <= 0.005:  # target: <0.5% of queries see fewer than k
+    # ---- fine grid: bound the dense bulk's 27-cell window --------------
+    h = max((vol * 2.5 * k / (27.0 * n)) ** (1.0 / 3.0), 1e-9)
+    fine = None
+    for _ in range(24):
+        h_eff, dims, inv_h, cell_id, counts = _grid_for(positions, lo, span, h)
+        qc = _cell_coords(sq, lo, inv_h, dims)
+        totals = _box_totals(qc, counts, dims, 1)
+        p99 = np.percentile(totals, 99.0) if totals.size else 0
+        fine = (h_eff, dims, inv_h, cell_id, counts, totals)
+        if p99 > FINE_WINDOW and np.min(dims) < 512 and h_eff == h:
+            h = h_eff / 1.35
+            continue
+        if p99 <= FINE_WINDOW // 4 and float(np.mean(totals < k_eff)) > 0.5:
+            h = h_eff * 1.35
+            continue
+        break
+    h, dims, inv_h, cell_id, counts, totals = fine
+    total_cap = _window(totals, k, n, 1024)
+    qc = _cell_coords(sq, lo, inv_h, dims)
+    totals5 = _box_totals(qc, counts, dims, 2)
+    total_cap2 = _window(totals5, k, n, 2048)
+
+    # ---- coarse grid: cover the sparse strays --------------------------
+    # sampled queries the fine passes likely can't certify: the runtime
+    # flag is (k-th distance > 2h), i.e. < k photons in the 2h-ball; the
+    # ball fills ~27% of the 5x5x5 box, so box count < ~4k approximates
+    # the flagged set (the coarse window must be sized for ALL of them)
+    flagged = totals5 < 4 * k_eff
+    h2 = h * 2.0
+    trunc = 0.0
+    for _ in range(24):
+        h2_eff, dims2, inv_h2, cell_id2, counts2 = _grid_for(
+            positions, lo, span, h2
+        )
+        qc2 = _cell_coords(sq, lo, inv_h2, dims2)
+        t2 = _box_totals(qc2, counts2, dims2, 1)
+        trunc = float(np.mean(t2 < k_eff))
+        coarse = (h2_eff, dims2, inv_h2, cell_id2, t2)
+        if trunc <= 0.005 or np.max(dims2) <= 2:
             break
-        h *= 1.4
-
-    h, dims, inv_h, cell_id, trunc, cap = best
+        h2 = h2_eff * 1.5
+    h2, dims2, inv_h2, cell_id2, t2 = coarse
+    # window from the plausibly-flagged samples (the only coarse users)
+    t2f = t2[flagged] if flagged.any() else t2
+    total_cap3 = _window(t2f, k, n, 2048)
     if trunc > 0.01:
         import sys
 
         print(
-            f"rpt_tpu: photon grid truncates k-NN for {trunc:.1%} of sample queries "
-            f"(cap {cap}, cell {h:.3g})",
+            f"rpt_tpu: photon k-NN uncovered for {trunc:.1%} of sample "
+            f"queries even at coarse cell {h2:.3g}",
             file=sys.stderr,
         )
+
     order = np.argsort(cell_id, kind="stable")
-    sorted_ids = cell_id[order]
-    n_cells = int(np.prod(dims))
-    starts = np.searchsorted(sorted_ids, np.arange(n_cells + 1))
+    starts = np.searchsorted(cell_id[order], np.arange(int(np.prod(dims)) + 1))
+    order2 = np.argsort(cell_id2, kind="stable")
+    starts2 = np.searchsorted(
+        cell_id2[order2], np.arange(int(np.prod(dims2)) + 1)
+    )
+    # coarse-slot -> fine-slot map: fine_slot_of_photon[order2]
+    fine_slot = np.empty(n, np.int64)
+    fine_slot[order] = np.arange(n)
+    map2 = fine_slot[order2]
 
     static = PhotonGridStatic(
-        tuple(lo), float(inv_h), tuple(int(d) for d in dims), int(cap), n, trunc
+        tuple(lo), float(inv_h), tuple(int(d) for d in dims), n, trunc,
+        total_cap, float(h), total_cap2, float(inv_h2),
+        tuple(int(d) for d in dims2), float(h2), int(total_cap3),
     )
     tables = {
         "starts": jnp.asarray(starts, jnp.int32),
         "order": jnp.asarray(order, jnp.int32),
+        "starts2": jnp.asarray(starts2, jnp.int32),
+        "map2": jnp.asarray(map2, jnp.int32),
     }
     return static, tables
 
 
-def knn_query(static: PhotonGridStatic, tables, pos_rows, query: Vec3, k: int):
-    """k-NN per query lane.
+def _packed_topk(starts, pos_rows, query, k, rad, w, live, cells, dims,
+                 origin, h):
+    """Pack the (2rad+1)^2 neighbor columns' contiguous z-runs into a
+    tight (n, w) candidate window and take the k nearest. ``pos_rows``
+    are (P, 4) [x, y, z, pad] rows in THIS grid's sort order.
 
-    ``pos_rows``: (P, 4) f32 rows [x, y, z, pad] ALREADY sorted in grid
-    order — packed so each candidate costs ONE row gather.
-    Returns (idx (n, k) into the sorted arrays, d2 (n, k), valid (n, k)).
+    Returns (idx, d2, r_cov): ``r_cov`` is the per-lane EXACT covered
+    radius — the distance from the query point to the searched box's
+    boundary (negative when the query lies outside the box, e.g. clamped
+    cells for queries beyond the photon bbox). A k-th distance within
+    r_cov proves the result exact; anything else must escalate."""
+    n = query.x.shape[0]
+    cx, cy, cz = cells
+    nx, ny, nz = dims
+    ox, oy, oz = origin
+
+    def cov_axis(q, c, d, o):
+        lo_box = o + jnp.maximum(c - rad, 0).astype(DTYPE) * h
+        hi_box = o + (jnp.minimum(c + rad, d - 1) + 1).astype(DTYPE) * h
+        return jnp.minimum(q - lo_box, hi_box - q)
+
+    r_cov = jnp.minimum(
+        cov_axis(query.x, cx, nx, ox),
+        jnp.minimum(cov_axis(query.y, cy, ny, oy), cov_axis(query.z, cz, nz, oz)),
+    )
+
+    def axis_gap(q, c, d_off, o):
+        # distance from q to the (c+d_off) column band along one axis
+        lo_band = o + (c + d_off).astype(DTYPE) * h
+        hi_band = lo_band + h
+        return jnp.where(
+            d_off == 0, 0.0, jnp.where(d_off < 0, q - hi_band, lo_band - q)
+        )
+
+    # columns CENTER-FIRST so window overflow sacrifices the farthest
+    # columns; the per-lane certificate then shrinks to the first dropped
+    # column's distance instead of collapsing to zero
+    offsets = sorted(
+        ((dx, dy) for dx in range(-rad, rad + 1) for dy in range(-rad, rad + 1)),
+        key=lambda p: (max(abs(p[0]), abs(p[1])), abs(p[0]) + abs(p[1])),
+    )
+    col_s = []
+    col_len = []
+    col_dist = []
+    for dx, dy in offsets:
+        x = cx + dx
+        y = cy + dy
+        in_bounds = (x >= 0) & (x < nx) & (y >= 0) & (y < ny) & live
+        z0 = jnp.maximum(cz - rad, 0)
+        z1 = jnp.minimum(cz + rad, nz - 1)
+        base = (x * ny + y) * nz
+        s = jnp.take(starts, jnp.clip(base + z0, 0, starts.shape[0] - 1))
+        e = jnp.take(starts, jnp.clip(base + z1 + 1, 0, starts.shape[0] - 1))
+        col_s.append(s)
+        col_len.append(jnp.where(in_bounds, jnp.maximum(e - s, 0), 0))
+        gx = jnp.maximum(axis_gap(query.x, cx, jnp.int32(dx), ox), 0.0)
+        gy = jnp.maximum(axis_gap(query.y, cy, jnp.int32(dy), oy), 0.0)
+        col_dist.append(jnp.sqrt(gx * gx + gy * gy))
+    lens = jnp.stack(col_len, axis=1)
+    offs = jnp.cumsum(lens, axis=1) - lens  # exclusive prefix
+    total = offs[:, -1] + lens[:, -1]
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1)
+    idx = jnp.zeros((n, w), jnp.int32)
+    for j in range(len(col_s)):
+        o = offs[:, j][:, None]
+        m = (iota >= o) & (iota < o + lens[:, j][:, None])
+        idx = jnp.where(m, col_s[j][:, None] + (iota - o), idx)
+    ok = iota < jnp.minimum(total, w)[:, None]
+
+    # overflow certificate: min distance over columns not fully kept
+    dropped = jnp.stack(
+        [offs[:, j] + lens[:, j] > w for j in range(len(col_s))], axis=1
+    )
+    dist_mat = jnp.stack(col_dist, axis=1)
+    r_over = jnp.min(jnp.where(dropped, dist_mat, jnp.inf), axis=1)
+    r_cov = jnp.minimum(r_cov, r_over)
+
+    rows = jnp.take(pos_rows, idx.reshape(-1), axis=0).reshape(n, w, 4)
+    d2 = (
+        (rows[:, :, 0] - query.x[:, None]) ** 2
+        + (rows[:, :, 1] - query.y[:, None]) ** 2
+        + (rows[:, :, 2] - query.z[:, None]) ** 2
+    )
+    d2 = jnp.where(ok, d2, jnp.inf)
+    neg_d2, top_pos = jax.lax.top_k(-d2, k)
+    return jnp.take_along_axis(idx, top_pos, axis=1), -neg_d2, r_cov
+
+
+def _fine_cells(static, query):
+    nx, ny, nz = static.dims
+    ox, oy, oz = static.origin
+    inv_h = static.inv_h
+
+    def coord(v, o, d):
+        return jnp.clip(jnp.floor((v - o) * inv_h).astype(jnp.int32), 0, d - 1)
+
+    return coord(query.x, ox, nx), coord(query.y, oy, ny), coord(query.z, oz, nz)
+
+
+def knn_query(static: PhotonGridStatic, tables, pos_rows, query: Vec3, k: int):
+    """k-NN per query lane over the two-level grid.
+
+    ``pos_rows``: (P, 4) f32 rows [x, y, z, pad] sorted in FINE grid
+    order (each candidate costs ONE row gather). ``tables`` may carry
+    ``pos4_2`` (coarse-order positions) to enable the stray pass.
+    Returns (idx (n, k) into the fine-sorted arrays, d2 (n, k), valid).
     """
     n = query.x.shape[0]
     if static.n_photons == 0:
@@ -140,52 +326,70 @@ def knn_query(static: PhotonGridStatic, tables, pos_rows, query: Vec3, k: int):
             jnp.full((n, k), jnp.inf, DTYPE),
             jnp.zeros((n, k), bool),
         )
-    nx, ny, nz = static.dims
-    cap = static.cap
-    ox, oy, oz = static.origin
-    inv_h = static.inv_h
+    cells = _fine_cells(static, query)
+    live = jnp.ones(n, bool)
 
-    def coord(v, o, d):
-        return jnp.clip(jnp.floor((v - o) * inv_h).astype(jnp.int32), 0, d - 1)
+    def certified(d2k, r_cov):
+        kth = d2k[:, k - 1]
+        return jnp.isfinite(kth) & (r_cov > 0.0) & (kth <= r_cov * r_cov)
 
-    cx = coord(query.x, ox, nx)
-    cy = coord(query.y, oy, ny)
-    cz = coord(query.z, oz, nz)
-
-    starts = tables["starts"]
-    cand_idx = []
-    cand_ok = []
-    # 9 (dx, dy) neighbor columns; each covers a contiguous run of 3 cells
-    # in z (cells are sorted by (x, y, z)), so one (start, end) range each.
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            x = cx + dx
-            y = cy + dy
-            in_bounds = (x >= 0) & (x < nx) & (y >= 0) & (y < ny)
-            z0 = jnp.maximum(cz - 1, 0)
-            z1 = jnp.minimum(cz + 1, nz - 1)
-            base = (x * ny + y) * nz
-            s = jnp.take(starts, jnp.clip(base + z0, 0, starts.shape[0] - 1))
-            e = jnp.take(starts, jnp.clip(base + z1 + 1, 0, starts.shape[0] - 1))
-            run_cap = 3 * cap
-            offs = jax.lax.broadcasted_iota(jnp.int32, (n, run_cap), 1)
-            idx = s[:, None] + offs
-            ok = in_bounds[:, None] & (idx < e[:, None])
-            cand_idx.append(jnp.where(ok, idx, 0))
-            cand_ok.append(ok)
-    idx = jnp.concatenate(cand_idx, axis=1)  # (n, 9*run_cap)
-    ok = jnp.concatenate(cand_ok, axis=1)
-
-    flat = idx.reshape(-1)
-    rows = jnp.take(pos_rows, flat, axis=0).reshape(idx.shape[0], idx.shape[1], 4)
-    d2 = (
-        (rows[:, :, 0] - query.x[:, None]) ** 2
-        + (rows[:, :, 1] - query.y[:, None]) ** 2
-        + (rows[:, :, 2] - query.z[:, None]) ** 2
+    top_idx, top_d2, rc1 = _packed_topk(
+        tables["starts"], pos_rows, query, k, 1, static.total_cap, live,
+        cells, static.dims, static.origin, static.h,
     )
-    d2 = jnp.where(ok, d2, jnp.inf)
-    neg_d2, top_pos = jax.lax.top_k(-d2, k)
-    top_idx = jnp.take_along_axis(idx, top_pos, axis=1)
-    top_d2 = -neg_d2
+    best_cov = rc1
+    flagged = ~certified(top_d2, rc1)
+
+    if static.total_cap2 > 0:
+        idx2, d2_2, rc2 = _packed_topk(
+            tables["starts"], pos_rows, query, k, 2, static.total_cap2,
+            flagged, cells, static.dims, static.origin, static.h,
+        )
+        cert2 = certified(d2_2, rc2)
+        take2 = flagged & (cert2 | (d2_2[:, k - 1] < top_d2[:, k - 1]))
+        top_idx = jnp.where(take2[:, None], idx2, top_idx)
+        top_d2 = jnp.where(take2[:, None], d2_2, top_d2)
+        best_cov = jnp.where(take2, rc2, best_cov)
+        flagged = flagged & ~(take2 & cert2)
+
+    pos4_2 = tables.get("pos4_2")
+    if static.total_cap3 > 0 and pos4_2 is not None:
+        # stray pass on the coarse grid, compacted to flagged lanes first
+        # (coarse windows are wide; masked full-width gathers would cost
+        # n x total_cap3 row fetches regardless of the flag)
+        W = n if n < 4096 else max(4096, n // 4)
+        order = jnp.argsort(~flagged)
+        sel = order[:W]
+        subq = Vec3(query.x[sel], query.y[sel], query.z[sel])
+        nx2, ny2, nz2 = static.dims2
+        ox, oy, oz = static.origin
+        inv_h2 = static.inv_h2
+
+        def coord2(v, o, d):
+            return jnp.clip(
+                jnp.floor((v - o) * inv_h2).astype(jnp.int32), 0, d - 1
+            )
+
+        cells2 = (
+            coord2(subq.x, ox, nx2), coord2(subq.y, oy, ny2),
+            coord2(subq.z, oz, nz2),
+        )
+        idx3c, d2_3, rc3 = _packed_topk(
+            tables["starts2"], pos4_2, subq, k, 1, static.total_cap3,
+            flagged[sel], cells2, static.dims2, static.origin, static.h2,
+        )
+        idx3 = jnp.take(tables["map2"], jnp.maximum(idx3c, 0))
+        # adopt the coarse result where it certifies or tightens the bound
+        cert3 = jnp.isfinite(d2_3[:, k - 1]) & (rc3 > 0.0) & (
+            d2_3[:, k - 1] <= rc3 * rc3
+        )
+        better = flagged[sel] & (cert3 | (d2_3[:, k - 1] < top_d2[sel, k - 1]))
+        top_idx = top_idx.at[sel].set(
+            jnp.where(better[:, None], idx3, top_idx[sel])
+        )
+        top_d2 = top_d2.at[sel].set(
+            jnp.where(better[:, None], d2_3, top_d2[sel])
+        )
+
     valid = jnp.isfinite(top_d2)
     return top_idx, top_d2, valid

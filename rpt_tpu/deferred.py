@@ -1,0 +1,352 @@
+"""Deferred-leaf wide-tree traversal — the INCOHERENT-wavefront path.
+
+Replaces the tri-level short-stack fallback (``intersect._traverse``) for
+big meshes. Rationale (measured, PERF.md "incoherent-wavefront wall"):
+
+* XLA's random row gather issues at ~90 Mrows/s for ANY row width up to
+  512 B, so traversal cost is the NUMBER of fetches, not bytes. The
+  tri-leaf tree fetches one 64 B node row + up to TWO 320 B leaf rows per
+  step at full wavefront width (682 ms bounce wavefront), and a binary
+  cluster tree still averages ~25 node visits per bounce ray (measured,
+  experiments/deferred_diag.py — fat cluster boxes prune weakly).
+* An 8-ary cluster tree (``accel.clusters.pack_wide_cluster_tree``)
+  collapses 3 binary levels into one 256 B row that costs the SAME to
+  fetch — cutting node fetches and the slow-lane tail ~2-3x.
+
+Design:
+
+1. **Descent bursts** walk the 8-ary tree. The cursor and every stack /
+   candidate entry is ONE packed int32 ``row_id << 8 | child_mask``, so
+   a step does exactly one 256 B gather, at most one one-hot stack push
+   (the non-nearest internal hits, as a mask), and at most one one-hot
+   candidate append (ALL leaf hits of the row, as a group). Leaf rows
+   are never fetched during descent.
+2. **Test bursts** drain the buffers: each round a pending lane re-derives
+   its nearest candidate group's child bounds (256 B refetch), tests the
+   nearest surviving cluster's fat 2.5 KB row densely, and clears that
+   child bit. Groups whose entry bound can no longer beat the lane's
+   best are dropped unexamined; any-hit lanes stop at the first hit.
+
+Bursts alternate over compacted batches (masked gathers cost full width,
+so phases run on the first W pending-sorted lanes — adapting from the
+2%-pending post-tile finisher to fully-incoherent wavefronts). Exact:
+every reachable cluster is tested or provably pruned.
+
+Reference analog: the ordered kd descent with t-pruning
+(`/root/reference/src/kdtree.rs:154-226`); the wide-node deferral/burst
+structure is TPU-specific.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .accel.clusters import WIDE, ClusterTables
+from .dtypes import DTYPE, INF
+from .ray import Ray
+from .tiled import _recover_hit, _tile_tri_test
+from .vec import Vec3
+
+# swept on the 262k-lane dragon bounce wavefront (experiments/
+# deferred_sweep.py): short bursts + narrow batches beat long bursts —
+# the batch pays for its slowest lane, so frequent re-compaction wins
+# (D24/T64/B8: 420 ms; D12/T4/B16: 308 ms; D8/T3: worse, phase-boundary
+# overheads dominate)
+CAND_SLOTS = 6  # per-lane candidate-group buffer
+DESCENT_STEPS = 12  # node steps per descent burst
+TEST_ROUNDS = 4  # fat-test rounds per test burst (tail defers to next phase)
+BATCH_DIV = 16  # compacted phase-batch width = max(4096, n / BATCH_DIV)
+FULL_MASK = (1 << WIDE) - 1
+
+
+def _wide_row_test(tree, row_id, mask_bits, o24, inv24, t_min, cutoff, live):
+    """Fetch one wide row per lane and slab-test its 8 children.
+
+    Returns (enter, ptr, meta, hit) as (n, 8) arrays; ``hit`` respects
+    ``mask_bits`` (packed child subset) and the per-lane ``cutoff``."""
+    n = row_id.shape[0]
+    row = jnp.take(tree, jnp.maximum(row_id, 0), axis=0)
+    t1 = (row[:, 0:24] - o24) * inv24
+    t2 = (row[:, 24:48] - o24) * inv24
+    lo = jnp.minimum(t1, t2)
+    hi = jnp.maximum(t1, t2)
+    lo = jnp.where(jnp.isnan(lo), -INF, lo)
+    hi = jnp.where(jnp.isnan(hi), INF, hi)
+    enter = lo.reshape(n, 3, WIDE).max(1)  # (n, 8)
+    exit_ = hi.reshape(n, 3, WIDE).min(1)
+    ptr = row[:, 48:56].astype(jnp.int32)
+    meta = row[:, 56:64].astype(jnp.int32)
+    slot8 = jax.lax.broadcasted_iota(jnp.int32, (n, WIDE), 1)
+    in_mask = ((mask_bits[:, None] >> slot8) & 1) == 1
+    hit = (
+        (enter <= exit_)
+        & (exit_ >= t_min)
+        & (enter <= cutoff[:, None])
+        & (meta >= 0)
+        & in_mask
+        & live[:, None]
+    )
+    return enter, ptr, meta, hit, slot8
+
+
+def _descent_burst(tree, ray, inv_dir, t_min, limit_u, state, max_steps):
+    """Up to ``max_steps`` wide-node steps; lanes with full buffers or
+    finished descent idle. One 256 B gather per step, no leaf reads."""
+    n = ray.origin.shape[0]
+    depth = state[2].shape[1]
+    depth_iota = jax.lax.broadcasted_iota(jnp.int32, (n, depth), 1)
+    cslot_iota = jax.lax.broadcasted_iota(jnp.int32, (n, CAND_SLOTS), 1)
+    # slab blocks are [x*8][y*8][z*8] — build o24/inv24 the same way
+    o24 = jnp.concatenate(
+        [jnp.repeat(ray.origin.to_array()[:, i : i + 1], WIDE, axis=1) for i in range(3)],
+        axis=1,
+    )
+    inv24 = jnp.concatenate(
+        [jnp.repeat(inv_dir.to_array()[:, i : i + 1], WIDE, axis=1) for i in range(3)],
+        axis=1,
+    )
+
+    def step(carry):
+        state, i = carry
+        cur, sp, stack, best_u, pack, cand_t, cand_id, done = state
+        n_cand = jnp.sum(cand_t < INF, axis=1)
+        active = (cur >= 0) & (n_cand < CAND_SLOTS) & ~done
+        row_id = cur >> 8
+        mask = cur & FULL_MASK
+        cutoff = jnp.minimum(best_u, limit_u)
+        enter, ptr, meta, hit, slot8 = _wide_row_test(
+            tree, row_id, mask, o24, inv24, t_min, cutoff, active
+        )
+
+        # ---- candidate group append (all leaf hits, one slot) ----------
+        leaf_hit = hit & (meta > 0)
+        any_leaf = jnp.any(leaf_hit, axis=1)
+        g_t = jnp.maximum(jnp.min(jnp.where(leaf_hit, enter, INF), axis=1), t_min)
+        g_bits = jnp.sum(jnp.where(leaf_hit, 1 << slot8, 0), axis=1)
+        g_id = (row_id << 8) | g_bits
+        at = (cslot_iota == n_cand[:, None]) & any_leaf[:, None]
+        cand_t = jnp.where(at, g_t[:, None], cand_t)
+        cand_id = jnp.where(at, g_id[:, None], cand_id)
+
+        # ---- internal children: descend nearest, push the rest --------
+        int_hit = hit & (meta == 0)
+        ei = jnp.where(int_hit, enter, INF)
+        ni = jnp.argmin(ei, axis=1).astype(jnp.int32)
+        has_int = jnp.any(int_hit, axis=1)
+        next_ptr = jnp.sum(jnp.where(slot8 == ni[:, None], ptr, 0), axis=1)
+        rest_bits = jnp.sum(jnp.where(int_hit, 1 << slot8, 0), axis=1) & ~(
+            jnp.where(has_int, 1 << ni, 0)
+        )
+        push_entry = (row_id << 8) | rest_bits
+        do_push = active & (rest_bits != 0) & (sp < depth)
+        at_sp = depth_iota == jnp.minimum(sp, depth - 1)[:, None]
+        stack = jnp.where(at_sp & do_push[:, None], push_entry[:, None], stack)
+        sp_after = sp + do_push
+
+        do_pop = active & ~has_int
+        at_top = depth_iota == (sp_after - 1)[:, None]
+        popped = jnp.sum(jnp.where(at_top, stack, 0), axis=1)
+        pop_ok = (sp_after > 0) & (sp_after <= depth)
+        new_cur = jnp.where(
+            ~active, cur,
+            jnp.where(
+                has_int, (next_ptr << 8) | FULL_MASK,
+                jnp.where(pop_ok, popped, -1),
+            ),
+        )
+        new_sp = jnp.where(do_pop, jnp.maximum(sp_after - 1, 0), sp_after)
+        return (new_cur, new_sp, stack, best_u, pack, cand_t, cand_id, done), i + 1
+
+    def cond(carry):
+        state, i = carry
+        cur, _, _, _, _, cand_t, _, done = state
+        n_cand = jnp.sum(cand_t < INF, axis=1)
+        can = (cur >= 0) & (n_cand < CAND_SLOTS) & ~done
+        return jnp.any(can) & (i < max_steps)
+
+    (state, _) = jax.lax.while_loop(cond, step, (state, jnp.int32(0)))
+    return state
+
+
+def _test_burst(ct: ClusterTables, ray, dn, inv_dir, t_min, limit_u, state,
+                any_hit: bool):
+    """Drain candidate-group buffers: per round each pending lane
+    re-derives its nearest group's child bounds, tests the nearest
+    surviving cluster's fat row, and clears that child bit."""
+    n = ray.origin.shape[0]
+    o1 = Vec3(ray.origin.x[:, None], ray.origin.y[:, None], ray.origin.z[:, None])
+    d1 = Vec3(dn.x[:, None], dn.y[:, None], dn.z[:, None])
+    cslot_iota = jax.lax.broadcasted_iota(jnp.int32, (n, CAND_SLOTS), 1)
+    o24 = jnp.concatenate(
+        [jnp.repeat(ray.origin.to_array()[:, i : i + 1], WIDE, axis=1) for i in range(3)],
+        axis=1,
+    )
+    inv24 = jnp.concatenate(
+        [jnp.repeat(inv_dir.to_array()[:, i : i + 1], WIDE, axis=1) for i in range(3)],
+        axis=1,
+    )
+
+    def prune(state):
+        cur, sp, stack, best_u, pack, cand_t, cand_id, done = state
+        cutoff = jnp.minimum(best_u, limit_u)
+        keep = cand_t < cutoff[:, None]
+        if any_hit:
+            keep &= ~(best_u < limit_u)[:, None]
+        cand_t = jnp.where(keep, cand_t, INF)
+        return (cur, sp, stack, best_u, pack, cand_t, cand_id, done)
+
+    def step(state):
+        state = prune(state)
+        cur, sp, stack, best_u, pack, cand_t, cand_id, done = state
+        sel_t = jnp.min(cand_t, axis=1)
+        sel_i = jnp.argmin(cand_t, axis=1).astype(jnp.int32)
+        at_sel = cslot_iota == sel_i[:, None]
+        test = (sel_t < INF) & ~done
+        entry = jnp.sum(jnp.where(at_sel, cand_id, 0), axis=1)
+        row_id = entry >> 8
+        lmask = entry & FULL_MASK
+        cutoff = jnp.minimum(best_u, limit_u)
+        enter, ptr, meta, hit, slot8 = _wide_row_test(
+            ct.tree, row_id, lmask, o24, inv24, t_min, cutoff, test
+        )
+        ei = jnp.where(hit, enter, INF)
+        ci = jnp.argmin(ei, axis=1).astype(jnp.int32)
+        has = jnp.any(hit, axis=1)
+        cid = jnp.sum(jnp.where(slot8 == ci[:, None], ptr, 0), axis=1)
+
+        fat_rows = jnp.take(ct.fat, jnp.where(has, cid, 0), axis=0)
+        best1, pack1 = _tile_tri_test(
+            fat_rows, o1, d1, t_min, limit_u[:, None], best_u[:, None],
+            pack[:, None], cid, has[:, None],
+        )
+        best_u = best1[:, 0]
+        pack = pack1[:, 0]
+
+        # clear the tested child; group bound = min enter of the rest
+        rest = jnp.sum(jnp.where(hit, 1 << slot8, 0), axis=1) & ~(
+            jnp.where(has, 1 << ci, 0)
+        )
+        rest_t = jnp.min(
+            jnp.where(hit & (slot8 != ci[:, None]), enter, INF), axis=1
+        )
+        new_t = jnp.where(rest != 0, jnp.maximum(rest_t, t_min), INF)
+        new_id = (row_id << 8) | rest
+        upd = test[:, None] & at_sel
+        cand_t = jnp.where(upd, new_t[:, None], cand_t)
+        cand_id = jnp.where(upd, new_id[:, None], cand_id)
+        return (cur, sp, stack, best_u, pack, cand_t, cand_id, done)
+
+    def cond(carry):
+        state, i = carry
+        cand_t = state[5]
+        best_u, done = state[3], state[7]
+        cutoff = jnp.minimum(best_u, limit_u)
+        pend = jnp.any(cand_t < cutoff[:, None], axis=1) & ~done
+        if any_hit:
+            pend &= ~(best_u < limit_u)
+        return jnp.any(pend) & (i < TEST_ROUNDS)
+
+    state, _ = jax.lax.while_loop(
+        cond, lambda c: (step(c[0]), c[1] + 1), (state, jnp.int32(0))
+    )
+    return prune(state)
+
+
+def deferred_traverse(ct: ClusterTables, ray: Ray, t_min, limit, best_time,
+                      any_hit: bool, active=None):
+    """Exact closest-hit / any-hit over the fat-cluster tables via the
+    8-ary cluster tree. Returns (time, tri, u, v, w) in the caller's raw
+    parametrization; lanes outside ``active`` (or that can't improve)
+    return their input ``best_time`` untouched."""
+    n = ray.origin.shape[0]
+    dlen = ray.dir.length()
+    safe = dlen > 0.0
+    unit = jnp.abs(dlen - 1.0) < 1e-6
+    inv = jnp.where(unit, 1.0, 1.0 / jnp.where(safe, dlen, 1.0))
+    dn = ray.dir * inv
+    dlen = jnp.where(unit, 1.0, dlen)
+    scale = jnp.where(safe, dlen, 1.0)
+    best_u0 = jnp.broadcast_to(best_time, (n,)) * scale
+    limit_u = jnp.broadcast_to(limit, (n,)).astype(DTYPE) * scale
+    if active is None:
+        active = jnp.ones(n, bool)
+    active = active & safe & (limit_u > t_min)
+
+    uray = Ray(ray.origin, dn)
+    inv_dir = Vec3.ones(dn.shape) / dn
+    depth = ct.tree_depth
+
+    state = (
+        jnp.where(active, FULL_MASK, -1).astype(jnp.int32),  # cur = root|0xFF
+        jnp.zeros(n, jnp.int32),                          # sp
+        jnp.zeros((n, depth), jnp.int32),                 # stack
+        best_u0,                                          # best_u
+        jnp.full(n, -1, jnp.int32),                       # pack
+        jnp.full((n, CAND_SLOTS), INF, DTYPE),            # cand_t
+        jnp.zeros((n, CAND_SLOTS), jnp.int32),            # cand_id
+        ~active,                                          # done
+    )
+
+    def phase(state, uray, inv_dir, limit_u):
+        state = _descent_burst(
+            ct.tree, uray, inv_dir, t_min, limit_u, state, DESCENT_STEPS
+        )
+        state = _test_burst(
+            ct, uray, uray.dir, inv_dir, t_min, limit_u, state, any_hit
+        )
+        # a lane is finished when descent is done and its buffer drained
+        cur, sp, stack, best_u, pack, cand_t, cand_id, done = state
+        done = done | ((cur < 0) & ~jnp.any(cand_t < INF, axis=1))
+        if any_hit:
+            done = done | (best_u < limit_u)
+        return (cur, sp, stack, best_u, pack, cand_t, cand_id, done)
+
+    def pending(state):
+        return jnp.any(~state[7])
+
+    def gather_sub(sel):
+        sub_ray = Ray(
+            Vec3(uray.origin.x[sel], uray.origin.y[sel], uray.origin.z[sel]),
+            Vec3(dn.x[sel], dn.y[sel], dn.z[sel]),
+        )
+        sub_inv = Vec3(inv_dir.x[sel], inv_dir.y[sel], inv_dir.z[sel])
+        return sub_ray, sub_inv, limit_u[sel]
+
+    # every phase makes progress on every pending lane (a lane either
+    # descends >= 1 node step or drains >= 1 candidate — test bursts always
+    # empty the buffer), so the fixpoint loops below terminate without caps
+    if n < 4096:
+        state = jax.lax.while_loop(
+            pending, lambda s: phase(s, uray, inv_dir, limit_u), state
+        )
+    else:
+        # uniform compacted batches: masked gathers cost FULL width whether
+        # or not a lane is pending, so every phase runs on the first W
+        # pending-sorted lanes. This adapts from the 2%-pending finisher
+        # case (one or two batches total) to fully-incoherent wavefronts
+        # (round-robin sweeps) with one code path.
+        W = max(4096, n // BATCH_DIV)
+
+        def outer_body(state):
+            order = jnp.argsort(state[7])  # pending lanes first (stable)
+            sel = order[:W]
+            sub_ray, sub_inv, sub_limit = gather_sub(sel)
+            sub = tuple(a[sel] for a in state)
+            sub = phase(sub, sub_ray, sub_inv, sub_limit)
+            return tuple(a.at[sel].set(b) for a, b in zip(state, sub))
+
+        state = jax.lax.while_loop(pending, outer_body, state)
+
+    best_u, pack = state[3], state[4]
+    if any_hit:
+        tri = jnp.where(pack >= 0, 0, -1)
+        u = v = w = jnp.zeros((n,), DTYPE)
+    else:
+        tri, u, v, w = _recover_hit(ct.rec, best_u, pack, ray.origin, dn, t_min)
+    time = jnp.where(
+        pack >= 0,
+        best_u / jnp.where(safe, dlen, 1.0),
+        jnp.broadcast_to(best_time, (n,)).astype(DTYPE),
+    )
+    return time, tri, u, v, w

@@ -147,7 +147,9 @@ def trace_surface(scene, tables, ray: Ray, keys, max_bounces: int,
     def level(carry, b):
         ray, keys_state, alive = carry
         kb = sampling.fold(keys_state, jnp.asarray(b))
-        hit = closest_hit(scene, tables, ray)
+        # b is a static Python int (the level loop is unrolled): camera
+        # rays take the coherent tile path, bounce wavefronts skip it
+        hit = closest_hit(scene, tables, ray, coherent=(b == 0))
         hitmask = alive & hit.valid
         missmask = alive & ~hit.valid
 
@@ -175,9 +177,16 @@ def trace_surface(scene, tables, ray: Ray, keys, max_bounces: int,
         segments = jnp.sum(alive) + jnp.sum(hitmask) * n_shadow
         return (new_ray, keys_state, bounce_ok), (contrib, factor, segments)
 
-    init = (ray, keys, jnp.ones(n, bool))
-    _, (contribs, factors, segments) = jax.lax.scan(
-        level, init, jnp.arange(max_bounces + 1)
+    # unrolled over levels (max_bounces is static and small) so each level
+    # can pick its traversal path statically; graph grows ~(bounces+1)x,
+    # amortized by the persistent compilation cache
+    carry = (ray, keys, jnp.ones(n, bool))
+    outs = []
+    for b in range(max_bounces + 1):
+        carry, out = level(carry, b)
+        outs.append(out)
+    contribs, factors, segments = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *outs
     )
 
     # backward clamp fold: L_b = contrib_b + min(factor_b * L_{b+1}, 100)

@@ -133,7 +133,9 @@ def _shoot_launch(scene, light_index: int, power_scalar: float, kind: str,
             kb = sampling.fold(keys_state, jnp.asarray(b))
             wo = -ray.dir.normalize()
 
-            hit = closest_hit(scene, tables, ray)
+            # photon wavefronts scatter from the light in all directions:
+            # never coherent enough for the tile path
+            hit = closest_hit(scene, tables, ray, coherent=False)
             if medium is not None:
                 d, _pdf_d, _cdf = medium.sample_d(ray, sampling.fold(kb, 1))
                 vol_event = alive & (d < jnp.where(hit.valid, hit.time, INF))
@@ -254,13 +256,20 @@ jax.tree_util.register_dataclass(
 def _grid_sort(rows: np.ndarray, k: int):
     static, tabs = build_photon_grid(rows[:, 0:3], k=k)
     order = np.asarray(tabs["order"])
+    map2 = np.asarray(tabs["map2"])
     sorted_rows = rows[order] if len(rows) else rows
     pos4 = np.zeros((max(len(rows), 1), 4), np.float32)
     pos4[: len(rows), :3] = sorted_rows[:, 0:3] if len(rows) else 0
+    # coarse-grid-order positions for the stray pass (indices map back to
+    # the fine order through tabs["map2"] inside knn_query)
+    pos4_2 = pos4[map2] if len(rows) else pos4
     return static, {
         "starts": tabs["starts"],
+        "starts2": tabs["starts2"],
+        "map2": tabs["map2"],
         "rows": jnp.asarray(sorted_rows if len(rows) else np.zeros((1, PHOTON_ROW), np.float32)),
         "pos4": jnp.asarray(pos4),
+        "pos4_2": jnp.asarray(pos4_2),
     }
 
 

@@ -694,28 +694,41 @@ def _finish_uncertified(bvh, ray, t_min, limit, time, tri, u, v, w, pending,
 
 
 def bvh_closest_hit(bvh: BVHTables, ray: Ray, t_min, best: Hit,
-                    clusters=None) -> Hit:
-    """Closest-hit query. Big meshes + wide wavefronts take the tile-binned
-    fat-cluster path (rpt_tpu.tiled) with an exact per-ray certificate;
-    everything the certificate can't vouch for — and all other shapes of
-    query — goes through the ordered short-stack traversal. Shading
-    attributes for the winning triangle are fetched once at the end."""
+                    clusters=None, coherent: bool = True) -> Hit:
+    """Closest-hit query. Big meshes + wide COHERENT wavefronts (camera
+    rays — ``coherent`` is the caller's static hint) take the tile-binned
+    fat-cluster path (rpt_tpu.tiled) with an exact per-ray certificate,
+    then the deferred wide-tree traversal finishes uncertified lanes.
+    Incoherent wavefronts (bounce rays) skip the tile pass entirely —
+    hemisphere tiles certify 0% yet burn the full tile round caps
+    (measured, PERF.md) — and go straight to the deferred traversal.
+    Shading attributes for the winning triangle are fetched at the end."""
     if bvh.leaves.shape[0] <= DENSE_TRI_ROWS:
         return dense_tri_hit(bvh, ray, t_min, best)
     n = ray.origin.shape[0] if ray.origin.shape else ()
     if clusters is not None and n and n >= TILED_MIN_RAYS:
-        from .tiled import tiled_traverse
+        from .deferred import deferred_traverse
 
-        time, tri, u, v, w, certified = tiled_traverse(
-            clusters, ray, t_min, INF, best.time, any_hit=False
-        )
-        # incoherent/uncertified lanes: exact masked tree traversal (the
-        # per-ray rounds path was measured slightly slower than the tree
-        # on bounce wavefronts — kept in rpt_tpu.tiled for future use)
-        time, tri, u, v, w = _finish_uncertified(
-            bvh, ray, t_min, jnp.full(n, INF, DTYPE), time, tri, u, v, w,
-            ~certified, any_hit=False,
-        )
+        if coherent:
+            from .tiled import tiled_traverse
+
+            time, tri, u, v, w, certified = tiled_traverse(
+                clusters, ray, t_min, INF, best.time, any_hit=False
+            )
+            t2, tr2, u2, v2, w2 = deferred_traverse(
+                clusters, ray, t_min, INF, time, any_hit=False,
+                active=~certified,
+            )
+            improved = ~certified & (t2 < time)
+            time = jnp.where(improved, t2, time)
+            tri = jnp.where(improved, tr2, tri)
+            u = jnp.where(improved, u2, u)
+            v = jnp.where(improved, v2, v)
+            w = jnp.where(improved, w2, w)
+        else:
+            time, tri, u, v, w = deferred_traverse(
+                clusters, ray, t_min, INF, best.time, any_hit=False
+            )
         return _finish_hit(bvh, best, time, tri, u, v, w)
     time, tri, u, v, w = _traverse(
         bvh, ray, t_min, jnp.full(n, INF, DTYPE), best.time, any_hit=False
@@ -731,16 +744,33 @@ def bvh_any_hit(bvh: BVHTables, ray: Ray, t_min, limit, clusters=None) -> jax.Ar
         h = dense_tri_hit(bvh, ray, t_min, Hit.none(ray.origin.shape))
         return h.time < limit
     if clusters is not None and n and n >= TILED_MIN_RAYS:
-        from .tiled import tiled_traverse
+        from .deferred import deferred_traverse
+        from .tiled import coherence_key, tiled_traverse
 
-        time, tri, u, v, w, certified = tiled_traverse(
-            clusters, ray, t_min, limit, jnp.full(n, INF, DTYPE), any_hit=True
+        limit_arr = jnp.broadcast_to(limit, (n,)).astype(DTYPE)
+        # occlusion wavefronts arrive in pixel order, but their ORIGINS
+        # (bounce hit points) are scattered — argsort into coherent tiles
+        # first (origin Morton + direction octant; shadow directions
+        # converge on one light, so sorted tiles get tight beams)
+        live = limit_arr > t_min
+        key = jnp.where(
+            live, coherence_key(ray.origin, ray.dir, mask=live),
+            jnp.int32(0x7FFFFFFF),
         )
-        time, _, _, _, _ = _finish_uncertified(
-            bvh, ray, t_min, limit, time, tri, u, v, w, ~certified,
+        order = jnp.argsort(key)
+        s_ray = Ray(take(ray.origin, order), take(ray.dir, order))
+        s_limit = limit_arr[order]
+        time_s, _, _, _, _, cert_s = tiled_traverse(
+            clusters, s_ray, t_min, s_limit, jnp.full(n, INF, DTYPE),
             any_hit=True,
         )
-        return time < limit
+        occ = jnp.zeros(n, bool).at[order].set(time_s < s_limit)
+        cert = jnp.zeros(n, bool).at[order].set(cert_s)
+        t2, _, _, _, _ = deferred_traverse(
+            clusters, ray, t_min, limit_arr, jnp.full(n, INF, DTYPE),
+            any_hit=True, active=~cert & ~occ,
+        )
+        return occ | (t2 < limit_arr)
     time, _, _, _, _ = _traverse(
         bvh, ray, t_min, limit, jnp.full(n, INF, DTYPE), any_hit=True
     )
@@ -751,12 +781,14 @@ def bvh_any_hit(bvh: BVHTables, ray: Ray, t_min, limit, clusters=None) -> jax.Ar
 # Scene-level closest hit
 
 
-def closest_hit(scene, tables, ray: Ray, t_min=None) -> Hit:
+def closest_hit(scene, tables, ray: Ray, t_min=None, coherent: bool = True) -> Hit:
     """Masked-min over all primitive batches + the triangle BVH — the
     wavefront analog of `Renderer::get_closest_hit` (renderer.rs:416-425).
 
     ``scene`` is the static CompiledScene (structure), ``tables`` its device
-    arrays (pytree).
+    arrays (pytree). ``coherent`` is a static hint from the caller: True
+    for camera-style wavefronts (tile fast path pays off), False for
+    bounce/scatter wavefronts (straight to the deferred traversal).
     """
     if t_min is None:
         t_min = scene.t_min
@@ -771,7 +803,8 @@ def closest_hit(scene, tables, ray: Ray, t_min=None) -> Hit:
         best = intersect_monomials(tables["monomials"], ray, t_min, best)
     if scene.n_tris:
         best = bvh_closest_hit(
-            tables["bvh"], ray, t_min, best, clusters=tables.get("clusters")
+            tables["bvh"], ray, t_min, best, clusters=tables.get("clusters"),
+            coherent=coherent,
         )
     return best
 

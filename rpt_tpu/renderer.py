@@ -128,7 +128,8 @@ class Renderer:
             s = max(1, int(scale))
             self.width_ = max(8, self.width_ // s)
             self.height_ = max(8, self.height_ // s)
-            self.num_samples_ = max(1, min(self.num_samples_, 4))
+            cap = int(os.environ.get("RPT_TPU_PREVIEW_SAMPLES", "4"))
+            self.num_samples_ = max(1, min(self.num_samples_, cap))
 
     def render(self) -> np.ndarray:
         """Path trace and return an (H, W, 3) sRGB u8 image
@@ -208,7 +209,8 @@ class Renderer:
 
         self._apply_preview()
         if os.environ.get("RPT_TPU_PREVIEW"):
-            photon_count = min(photon_count, 5000)
+            cap = int(os.environ.get("RPT_TPU_PREVIEW_PHOTONS", "5000"))
+            photon_count = min(photon_count, cap)
         scene = self.compiled
         key = jax.random.key(self.seed_)
         print("Shooting photons")

@@ -230,22 +230,20 @@ def compile_scene(scene: Scene) -> CompiledScene:
         )
         if n_tris >= CLUSTERS_MIN_TRIS:
             # fat-cluster tables for the tile-binned big-mesh fast path
-            from .accel.clusters import ClusterTables, pack_clusters
+            from .accel.clusters import (
+                ClusterTables, pack_clusters, pack_wide_cluster_tree,
+            )
 
             fat, sph, rec, sup, supblk, (bb_lo, bb_hi, tri_counts), n_c = (
                 pack_clusters(bvh, v)
             )
-            fat_dev = jnp.asarray(fat)
+            ctree, ctree_depth = pack_wide_cluster_tree(bb_lo, bb_hi, tri_counts)
             tables["clusters"] = ClusterTables(
-                fat=fat_dev, sph=jnp.asarray(sph),
+                fat=jnp.asarray(fat), sph=jnp.asarray(sph),
                 rec=jnp.asarray(rec), sup=jnp.asarray(sup),
-                supblk=jnp.asarray(supblk), n_clusters=n_c,
+                supblk=jnp.asarray(supblk), tree=jnp.asarray(ctree),
+                n_clusters=n_c, tree_depth=ctree_depth,
             )
-            # NB a fat-leaf cluster tree (pack_cluster_bvh) was measured
-            # SLOWER end-to-end (0.33 vs 0.53 Mrays/s): masked 2.5 KB leaf
-            # gathers still issue at full wavefront width every step. The
-            # tri-leaf tree stays; deferred-leaf traversal is the round-3
-            # idea (PERF.md).
 
     compiled_lights = []
     light_tabs = []

@@ -42,6 +42,16 @@ def test_knn_matches_brute_force():
     close = np.isclose(got, ref, rtol=2e-3, atol=1e-4)
     assert close.mean() > 0.995
 
+    # multi-pass coverage: the two-level grid escalates uncovered queries
+    # (fine 3x3x3 -> fine 5x5x5 -> coarse 3x3x3); on a uniform cloud the
+    # coarse h2-ball should cover nearly every query, and covered queries
+    # must agree with brute force (certificate soundness end to end)
+    kth = np.sqrt(got[:, -1])
+    covered = kth <= static.h2
+    assert covered.mean() > 0.95
+    exact_rows = np.isclose(got, ref, rtol=2e-3, atol=1e-4).all(1)
+    assert exact_rows[covered].mean() > 0.999
+
 
 def _photon_scene():
     scene = rpt.Scene()

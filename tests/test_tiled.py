@@ -100,6 +100,64 @@ def test_cluster_cut_covers_every_triangle():
     assert max(len(c) for c in clusters) <= 64
 
 
+def test_deferred_matches_reference_traversal(big_scene):
+    from rpt_tpu.deferred import deferred_traverse
+    from rpt_tpu.intersect import _traverse
+
+    bvh = big_scene.tables["bvh"]
+    clusters = big_scene.tables["clusters"]
+    ray, n = camera_rays()
+
+    t_old, tri_old, *_ = _traverse(
+        bvh, ray, 1e-4, jnp.full((n,), np.inf, jnp.float32),
+        jnp.full((n,), np.inf, jnp.float32), any_hit=False,
+    )
+    t_new, tri, u, v, w = deferred_traverse(
+        clusters, ray, 1e-4, jnp.inf, jnp.full((n,), np.inf, jnp.float32),
+        any_hit=False,
+    )
+    t_old = np.asarray(t_old)
+    t_new = np.asarray(t_new)
+    mask_agree = np.isfinite(t_old) == np.isfinite(t_new)
+    assert mask_agree.mean() > 0.9997, f"hit masks differ on {(~mask_agree).sum()} lanes"
+    both = np.isfinite(t_old) & np.isfinite(t_new)
+    close = np.abs(t_old[both] - t_new[both]) <= 1e-5 + 1e-5 * t_old[both]
+    assert close.mean() > 0.9997, f"{(~close).sum()} hit times differ"
+
+
+def test_deferred_any_hit_and_active_mask(big_scene):
+    from rpt_tpu.deferred import deferred_traverse
+    from rpt_tpu.intersect import _traverse
+
+    bvh = big_scene.tables["bvh"]
+    clusters = big_scene.tables["clusters"]
+    ray, n = camera_rays()
+    limit = jnp.full((n,), 3.2, jnp.float32)
+
+    t_old, *_ = _traverse(
+        bvh, ray, 1e-4, limit, jnp.full((n,), np.inf, jnp.float32),
+        any_hit=True,
+    )
+    occ_old = np.asarray(t_old) < 3.2
+    t_new, *_ = deferred_traverse(
+        clusters, ray, 1e-4, limit, jnp.full((n,), np.inf, jnp.float32),
+        any_hit=True,
+    )
+    occ_new = np.asarray(t_new) < 3.2
+    assert (occ_old == occ_new).mean() > 0.9997
+
+    # masked lanes must return their input best untouched
+    active = jnp.asarray(np.arange(n) % 3 != 0)
+    best_in = jnp.full((n,), 7.5, jnp.float32)
+    t_m, tri_m, *_ = deferred_traverse(
+        clusters, ray, 1e-4, jnp.inf, best_in, any_hit=False, active=active,
+    )
+    t_m = np.asarray(t_m)
+    inactive = ~np.asarray(active)
+    np.testing.assert_array_equal(t_m[inactive], 7.5)
+    assert (np.asarray(tri_m)[inactive] == -1).all()
+
+
 def test_perray_matches_reference_traversal(big_scene):
     from rpt_tpu.intersect import _traverse
     from rpt_tpu.tiled import perray_traverse

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Render every example driver on the real TPU into ``gallery/`` with a
+timing index — the per-example render evidence for PARITY.md.
+
+Each example runs in its own subprocess (TPU is single-tenant; a crash or
+hang in one driver must not sink the rest) under RPT_TPU_PREVIEW so the
+whole suite finishes in a bounded time. Usage:
+
+    python tools/gallery.py [--scale 4] [--samples 16] [--only name,...]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXAMPLES = os.path.join(REPO, "examples")
+OUT = os.path.join(REPO, "gallery")
+
+
+def example_names():
+    return sorted(
+        f[:-3]
+        for f in os.listdir(EXAMPLES)
+        if f.endswith(".py") and not f.startswith("_")
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=4,
+                    help="RPT_TPU_PREVIEW resolution divisor")
+    ap.add_argument("--samples", type=int, default=16)
+    ap.add_argument("--photons", type=int, default=200_000)
+    ap.add_argument("--timeout", type=int, default=2400)
+    ap.add_argument("--only", type=str, default="")
+    args = ap.parse_args()
+
+    names = example_names()
+    if args.only:
+        only = set(args.only.split(","))
+        names = [n for n in names if n in only]
+
+    os.makedirs(OUT, exist_ok=True)
+    results = []
+    for name in names:
+        workdir = os.path.join(OUT, name)
+        shutil.rmtree(workdir, ignore_errors=True)
+        os.makedirs(workdir)
+        env = dict(
+            os.environ,
+            # PREPEND the repo (examples import rpt_tpu); never replace
+            # PYTHONPATH wholesale — the axon TPU plugin registers via a
+            # sitecustomize dir already on it
+            PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+            RPT_TPU_PREVIEW=str(args.scale),
+            RPT_TPU_PREVIEW_SAMPLES=str(args.samples),
+            RPT_TPU_PREVIEW_PHOTONS=str(args.photons),
+            RPT_TPU_FRAMES="2",
+        )
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(EXAMPLES, f"{name}.py")],
+                cwd=workdir, env=env, timeout=args.timeout,
+                capture_output=True, text=True,
+            )
+            rc = proc.returncode
+            tail = (proc.stderr or "")[-2000:]
+        except subprocess.TimeoutExpired:
+            rc, tail = -1, "TIMEOUT"
+        wall = time.time() - t0
+        pngs = sorted(
+            f for f in os.listdir(workdir) if f.endswith(".png")
+        )
+        ok = rc == 0 and bool(pngs)
+        results.append(dict(name=name, ok=ok, rc=rc, wall_s=round(wall, 1),
+                            images=pngs))
+        print(f"{name:36s} {'OK ' if ok else 'FAIL'} {wall:7.1f}s "
+              f"{len(pngs)} image(s)", flush=True)
+        if not ok:
+            with open(os.path.join(workdir, "stderr.txt"), "w") as f:
+                f.write(tail)
+
+    with open(os.path.join(OUT, "results.json"), "w") as f:
+        json.dump(dict(scale=args.scale, samples=args.samples,
+                       results=results), f, indent=1)
+
+    with open(os.path.join(OUT, "README.md"), "w") as f:
+        f.write("# Example gallery (real TPU renders)\n\n")
+        f.write(f"Preview scale 1/{args.scale}, {args.samples} spp cap, "
+                f"photon cap {args.photons}. Wall time includes XLA "
+                "compilation (first run is compile-dominated).\n\n")
+        f.write("| example | status | wall (s) | images |\n|---|---|---|---|\n")
+        for r in results:
+            imgs = " ".join(
+                f"![{i}]({r['name']}/{i})" for i in r["images"][:3]
+            )
+            f.write(f"| {r['name']} | {'✅' if r['ok'] else '❌'} | "
+                    f"{r['wall_s']} | {imgs} |\n")
+    n_ok = sum(r["ok"] for r in results)
+    print(f"\n{n_ok}/{len(results)} examples rendered -> {OUT}")
+
+
+if __name__ == "__main__":
+    main()
