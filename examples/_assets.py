@@ -31,7 +31,17 @@ def get_mesh(name: str, fallback_tris: int = 20000) -> "rpt.Mesh":
     print(f"note: data/{name}.obj not found; using procedural stand-in", file=sys.stderr)
     n = max(8, int((fallback_tris / 2) ** 0.5))
     seed = abs(hash(name)) % (2**31)
-    return displaced_blob(n, n + 1, amplitude=0.3, seed=seed)
+    blob = displaced_blob(n, n + 1, amplitude=0.3, seed=seed)
+    # normalize to typical OBJ-model dimensions: the raw blob is a
+    # radius ~1.3 ball around the ORIGIN, which after an example's own
+    # transform (e.g. dragon.py's scale 3.4) swallows its camera and
+    # floor. Shrink to max half-extent 0.35 with the base at y=-0.294 so
+    # the dragon example's x3.4 rests the stand-in on its y=-1 plane.
+    v = blob.vertices.reshape(-1, 3)
+    half = float(np.abs(v).max())
+    s = 0.35 / max(half, 1e-9)
+    ty = -0.294 - float(v[:, 1].min()) * s
+    return blob.scale((s, s, s)).translate((0.0, ty, 0.0))
 
 
 def get_hdri(name: str = "ballroom_2k") -> "rpt.Hdri":
