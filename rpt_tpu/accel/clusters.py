@@ -204,21 +204,22 @@ WIDE = 8  # children per wide-tree node
 WIDE_ROW = 8 * WIDE  # [minx*8][miny*8][minz*8][maxx*8][maxy*8][maxz*8][ptr*8][meta*8]
 
 
-def pack_wide_cluster_tree(bb_lo, bb_hi, tri_counts):
-    """Collapse the binary cluster BVH into an 8-ary tree of 256 B rows.
+def pack_wide_cluster_tree(bb_lo, bb_hi, tri_counts, wide: int = WIDE):
+    """Collapse the binary cluster BVH into a ``wide``-ary tree of
+    ``wide``-child rows (256 B at wide=8, 512 B at wide=16).
 
     Rationale (measured, PERF.md): XLA's random gather issues at the same
-    ~90 Mrows/s for any row <= 512 B, so one 256 B fetch testing EIGHT
+    ~90 Mrows/s for any row <= 512 B, so one 256-512 B fetch testing 8-16
     children costs what one 64 B pair-packed fetch testing two does.
     Incoherent bounce rays touch ~25 binary cluster nodes (fat boxes
-    prune weakly); the 8-ary collapse cuts fetches ~2-3x and shrinks the
+    prune weakly); the wide collapse cuts fetches ~2-3x and shrinks the
     slow-lane tail the same way.
 
-    Row layout (component-major, consumed as coarse lane slices):
-      [0:24)  mins  (x*8 | y*8 | z*8)
-      [24:48) maxs
-      [48:56) ptr   (leaf: cluster id; internal: wide node id)
-      [56:64) meta  (>0: leaf with that many tris, 0: internal, -1: empty)
+    Row layout (component-major, consumed as coarse lane slices), W=wide:
+      [0:3W)   mins  (x*W | y*W | z*W)
+      [3W:6W)  maxs
+      [6W:7W)  ptr   (leaf: cluster id; internal: wide node id)
+      [7W:8W)  meta  (>0: leaf with that many tris, 0: internal, -1: empty)
 
     Returns (rows, stack_depth) where stack_depth is the exact bound on
     (row, mask) stack occupancy (<= one push per tree level).
@@ -238,12 +239,12 @@ def pack_wide_cluster_tree(bb_lo, bb_hi, tri_counts):
         sub = new
 
     def expand(i):
-        """Binary node -> up to WIDE subtree roots (greedy: split the
-        biggest remaining internal root until WIDE slots are used)."""
+        """Binary node -> up to ``wide`` subtree roots (greedy: split the
+        biggest remaining internal root until the slots are used)."""
         if not internal[i]:
             return [i]
         roots = [left[i], right[i]]
-        while len(roots) < WIDE:
+        while len(roots) < wide:
             cand = [r for r in roots if internal[r]]
             if not cand:
                 break
@@ -270,22 +271,28 @@ def pack_wide_cluster_tree(bb_lo, bb_hi, tri_counts):
                 queue.append(c)
 
     k = len(rows_children)
-    rows = np.zeros((k, WIDE_ROW), np.float32)
-    rows[:, 0:24] = 1e30  # empty slots: inverted boxes never hit
-    rows[:, 24:48] = -1e30
-    rows[:, 56:64] = -1.0  # meta: empty
+    if k > (1 << (31 - wide)):
+        # packed row_id << wide | mask cursors must fit int32
+        raise ValueError(
+            f"wide-{wide} cluster tree too large ({k} rows) for packed "
+            "int32 cursors; use a narrower tree"
+        )
+    rows = np.zeros((k, 8 * wide), np.float32)
+    rows[:, 0 : 3 * wide] = 1e30  # empty slots: inverted boxes never hit
+    rows[:, 3 * wide : 6 * wide] = -1e30
+    rows[:, 7 * wide : 8 * wide] = -1.0  # meta: empty
     for wi, ch in enumerate(rows_children):
         for s, c in enumerate(ch):
             for a in range(3):
-                rows[wi, a * WIDE + s] = bvh.bb_min[c][a]
-                rows[wi, 24 + a * WIDE + s] = bvh.bb_max[c][a]
+                rows[wi, a * wide + s] = bvh.bb_min[c][a]
+                rows[wi, 3 * wide + a * wide + s] = bvh.bb_max[c][a]
             if internal[c]:
-                rows[wi, 48 + s] = wide_id[c]
-                rows[wi, 56 + s] = 0.0
+                rows[wi, 6 * wide + s] = wide_id[c]
+                rows[wi, 7 * wide + s] = 0.0
             else:
                 cl = bvh.perm[bvh.first[c]]  # leaf_size=1: one cluster
-                rows[wi, 48 + s] = cl
-                rows[wi, 56 + s] = tri_counts[cl]
+                rows[wi, 6 * wide + s] = cl
+                rows[wi, 7 * wide + s] = tri_counts[cl]
 
     # exact stack bound: deepest wide node + 1 (<= one push per level)
     depth = np.zeros(k, np.int64)

@@ -42,42 +42,50 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .accel.clusters import WIDE, ClusterTables
+from .accel.clusters import ClusterTables
 from .dtypes import DTYPE, INF
 from .ray import Ray
 from .tiled import _recover_hit, _tile_tri_test
 from .vec import Vec3
 
-# swept on the 262k-lane dragon bounce wavefront (experiments/
-# deferred_sweep.py): short bursts + narrow batches beat long bursts —
-# the batch pays for its slowest lane, so frequent re-compaction wins
-# (D24/T64/B8: 420 ms; D12/T4/B16: 308 ms; D8/T3: worse, phase-boundary
-# overheads dominate)
+# measured on the 262k-lane dragon bounce wavefront (experiments/
+# step_cost.py): a traversal step costs ~0.43 ms FIXED + ~2.6 ns/lane,
+# while a fat test round costs ~50 ns/lane — so descent phases run at
+# FULL wavefront width (in place, no state swap) and test bursts run on
+# narrow compacted batches of candidate-holding lanes
 CAND_SLOTS = 6  # per-lane candidate-group buffer
-DESCENT_STEPS = 12  # node steps per descent burst
-TEST_ROUNDS = 4  # fat-test rounds per test burst (tail defers to next phase)
-BATCH_DIV = 16  # compacted phase-batch width = max(4096, n / BATCH_DIV)
-FULL_MASK = (1 << WIDE) - 1
+DESCENT_STEPS = 6  # node steps per descent burst (asym_sweep.py optimum)
+TEST_ROUNDS = 3  # fat-test rounds per test burst (tail defers to next phase)
+LADDER_DIV = 8  # stage compaction ratio once the pending tail fits
+TEST_DIV = 4  # test-batch width = stage width / TEST_DIV
 
 
-def _wide_row_test(tree, row_id, mask_bits, o24, inv24, t_min, cutoff, live):
-    """Fetch one wide row per lane and slab-test its 8 children.
+def _tree_wide(tree) -> int:
+    """Children per wide-tree row, inferred from the static row width
+    (rows are [mins 3W][maxs 3W][ptr W][meta W] = 8W floats)."""
+    return tree.shape[1] // 8
 
-    Returns (enter, ptr, meta, hit) as (n, 8) arrays; ``hit`` respects
+
+def _wide_row_test(tree, row_id, mask_bits, o3w, inv3w, t_min, cutoff, live):
+    """Fetch one wide row per lane and slab-test its W children.
+
+    Returns (enter, ptr, meta, hit) as (n, W) arrays; ``hit`` respects
     ``mask_bits`` (packed child subset) and the per-lane ``cutoff``."""
     n = row_id.shape[0]
+    wide = _tree_wide(tree)
+    w3 = 3 * wide
     row = jnp.take(tree, jnp.maximum(row_id, 0), axis=0)
-    t1 = (row[:, 0:24] - o24) * inv24
-    t2 = (row[:, 24:48] - o24) * inv24
+    t1 = (row[:, 0:w3] - o3w) * inv3w
+    t2 = (row[:, w3 : 2 * w3] - o3w) * inv3w
     lo = jnp.minimum(t1, t2)
     hi = jnp.maximum(t1, t2)
     lo = jnp.where(jnp.isnan(lo), -INF, lo)
     hi = jnp.where(jnp.isnan(hi), INF, hi)
-    enter = lo.reshape(n, 3, WIDE).max(1)  # (n, 8)
-    exit_ = hi.reshape(n, 3, WIDE).min(1)
-    ptr = row[:, 48:56].astype(jnp.int32)
-    meta = row[:, 56:64].astype(jnp.int32)
-    slot8 = jax.lax.broadcasted_iota(jnp.int32, (n, WIDE), 1)
+    enter = lo.reshape(n, 3, wide).max(1)  # (n, W)
+    exit_ = hi.reshape(n, 3, wide).min(1)
+    ptr = row[:, 6 * wide : 7 * wide].astype(jnp.int32)
+    meta = row[:, 7 * wide : 8 * wide].astype(jnp.int32)
+    slot8 = jax.lax.broadcasted_iota(jnp.int32, (n, wide), 1)
     in_mask = ((mask_bits[:, None] >> slot8) & 1) == 1
     hit = (
         (enter <= exit_)
@@ -92,18 +100,20 @@ def _wide_row_test(tree, row_id, mask_bits, o24, inv24, t_min, cutoff, live):
 
 def _descent_burst(tree, ray, inv_dir, t_min, limit_u, state, max_steps):
     """Up to ``max_steps`` wide-node steps; lanes with full buffers or
-    finished descent idle. One 256 B gather per step, no leaf reads."""
+    finished descent idle. One <=512 B gather per step, no leaf reads."""
     n = ray.origin.shape[0]
+    wide = _tree_wide(tree)
+    full = (1 << wide) - 1
     depth = state[2].shape[1]
     depth_iota = jax.lax.broadcasted_iota(jnp.int32, (n, depth), 1)
     cslot_iota = jax.lax.broadcasted_iota(jnp.int32, (n, CAND_SLOTS), 1)
-    # slab blocks are [x*8][y*8][z*8] — build o24/inv24 the same way
-    o24 = jnp.concatenate(
-        [jnp.repeat(ray.origin.to_array()[:, i : i + 1], WIDE, axis=1) for i in range(3)],
+    # slab blocks are [x*W][y*W][z*W] — build o3w/inv3w the same way
+    o3w = jnp.concatenate(
+        [jnp.repeat(ray.origin.to_array()[:, i : i + 1], wide, axis=1) for i in range(3)],
         axis=1,
     )
-    inv24 = jnp.concatenate(
-        [jnp.repeat(inv_dir.to_array()[:, i : i + 1], WIDE, axis=1) for i in range(3)],
+    inv3w = jnp.concatenate(
+        [jnp.repeat(inv_dir.to_array()[:, i : i + 1], wide, axis=1) for i in range(3)],
         axis=1,
     )
 
@@ -112,11 +122,11 @@ def _descent_burst(tree, ray, inv_dir, t_min, limit_u, state, max_steps):
         cur, sp, stack, best_u, pack, cand_t, cand_id, done = state
         n_cand = jnp.sum(cand_t < INF, axis=1)
         active = (cur >= 0) & (n_cand < CAND_SLOTS) & ~done
-        row_id = cur >> 8
-        mask = cur & FULL_MASK
+        row_id = cur >> wide
+        mask = cur & full
         cutoff = jnp.minimum(best_u, limit_u)
         enter, ptr, meta, hit, slot8 = _wide_row_test(
-            tree, row_id, mask, o24, inv24, t_min, cutoff, active
+            tree, row_id, mask, o3w, inv3w, t_min, cutoff, active
         )
 
         # ---- candidate group append (all leaf hits, one slot) ----------
@@ -124,7 +134,7 @@ def _descent_burst(tree, ray, inv_dir, t_min, limit_u, state, max_steps):
         any_leaf = jnp.any(leaf_hit, axis=1)
         g_t = jnp.maximum(jnp.min(jnp.where(leaf_hit, enter, INF), axis=1), t_min)
         g_bits = jnp.sum(jnp.where(leaf_hit, 1 << slot8, 0), axis=1)
-        g_id = (row_id << 8) | g_bits
+        g_id = (row_id << wide) | g_bits
         at = (cslot_iota == n_cand[:, None]) & any_leaf[:, None]
         cand_t = jnp.where(at, g_t[:, None], cand_t)
         cand_id = jnp.where(at, g_id[:, None], cand_id)
@@ -138,7 +148,7 @@ def _descent_burst(tree, ray, inv_dir, t_min, limit_u, state, max_steps):
         rest_bits = jnp.sum(jnp.where(int_hit, 1 << slot8, 0), axis=1) & ~(
             jnp.where(has_int, 1 << ni, 0)
         )
-        push_entry = (row_id << 8) | rest_bits
+        push_entry = (row_id << wide) | rest_bits
         do_push = active & (rest_bits != 0) & (sp < depth)
         at_sp = depth_iota == jnp.minimum(sp, depth - 1)[:, None]
         stack = jnp.where(at_sp & do_push[:, None], push_entry[:, None], stack)
@@ -151,7 +161,7 @@ def _descent_burst(tree, ray, inv_dir, t_min, limit_u, state, max_steps):
         new_cur = jnp.where(
             ~active, cur,
             jnp.where(
-                has_int, (next_ptr << 8) | FULL_MASK,
+                has_int, (next_ptr << wide) | full,
                 jnp.where(pop_ok, popped, -1),
             ),
         )
@@ -175,15 +185,17 @@ def _test_burst(ct: ClusterTables, ray, dn, inv_dir, t_min, limit_u, state,
     re-derives its nearest group's child bounds, tests the nearest
     surviving cluster's fat row, and clears that child bit."""
     n = ray.origin.shape[0]
+    wide = _tree_wide(ct.tree)
+    full = (1 << wide) - 1
     o1 = Vec3(ray.origin.x[:, None], ray.origin.y[:, None], ray.origin.z[:, None])
     d1 = Vec3(dn.x[:, None], dn.y[:, None], dn.z[:, None])
     cslot_iota = jax.lax.broadcasted_iota(jnp.int32, (n, CAND_SLOTS), 1)
-    o24 = jnp.concatenate(
-        [jnp.repeat(ray.origin.to_array()[:, i : i + 1], WIDE, axis=1) for i in range(3)],
+    o3w = jnp.concatenate(
+        [jnp.repeat(ray.origin.to_array()[:, i : i + 1], wide, axis=1) for i in range(3)],
         axis=1,
     )
-    inv24 = jnp.concatenate(
-        [jnp.repeat(inv_dir.to_array()[:, i : i + 1], WIDE, axis=1) for i in range(3)],
+    inv3w = jnp.concatenate(
+        [jnp.repeat(inv_dir.to_array()[:, i : i + 1], wide, axis=1) for i in range(3)],
         axis=1,
     )
 
@@ -204,11 +216,11 @@ def _test_burst(ct: ClusterTables, ray, dn, inv_dir, t_min, limit_u, state,
         at_sel = cslot_iota == sel_i[:, None]
         test = (sel_t < INF) & ~done
         entry = jnp.sum(jnp.where(at_sel, cand_id, 0), axis=1)
-        row_id = entry >> 8
-        lmask = entry & FULL_MASK
+        row_id = entry >> wide
+        lmask = entry & full
         cutoff = jnp.minimum(best_u, limit_u)
         enter, ptr, meta, hit, slot8 = _wide_row_test(
-            ct.tree, row_id, lmask, o24, inv24, t_min, cutoff, test
+            ct.tree, row_id, lmask, o3w, inv3w, t_min, cutoff, test
         )
         ei = jnp.where(hit, enter, INF)
         ci = jnp.argmin(ei, axis=1).astype(jnp.int32)
@@ -231,7 +243,7 @@ def _test_burst(ct: ClusterTables, ray, dn, inv_dir, t_min, limit_u, state,
             jnp.where(hit & (slot8 != ci[:, None]), enter, INF), axis=1
         )
         new_t = jnp.where(rest != 0, jnp.maximum(rest_t, t_min), INF)
-        new_id = (row_id << 8) | rest
+        new_id = (row_id << wide) | rest
         upd = test[:, None] & at_sel
         cand_t = jnp.where(upd, new_t[:, None], cand_t)
         cand_id = jnp.where(upd, new_id[:, None], cand_id)
@@ -278,7 +290,7 @@ def deferred_traverse(ct: ClusterTables, ray: Ray, t_min, limit, best_time,
     depth = ct.tree_depth
 
     state = (
-        jnp.where(active, FULL_MASK, -1).astype(jnp.int32),  # cur = root|0xFF
+        jnp.where(active, (1 << _tree_wide(ct.tree)) - 1, -1).astype(jnp.int32),  # cur = root | full mask
         jnp.zeros(n, jnp.int32),                          # sp
         jnp.zeros((n, depth), jnp.int32),                 # stack
         best_u0,                                          # best_u
@@ -305,40 +317,92 @@ def deferred_traverse(ct: ClusterTables, ray: Ray, t_min, limit, best_time,
     def pending(state):
         return jnp.any(~state[7])
 
-    def gather_sub(sel):
-        sub_ray = Ray(
-            Vec3(uray.origin.x[sel], uray.origin.y[sel], uray.origin.z[sel]),
-            Vec3(dn.x[sel], dn.y[sel], dn.z[sel]),
-        )
-        sub_inv = Vec3(inv_dir.x[sel], inv_dir.y[sel], inv_dir.z[sel])
-        return sub_ray, sub_inv, limit_u[sel]
-
-    # every phase makes progress on every pending lane (a lane either
-    # descends >= 1 node step or drains >= 1 candidate — test bursts always
-    # empty the buffer), so the fixpoint loops below terminate without caps
+    # every phase makes progress on some pending lane (a lane either
+    # descends >= 1 node step or drains >= 1 candidate; lanes with the
+    # fullest buffers are tested first), so the fixpoint loops below
+    # terminate without caps
     if n < 4096:
         state = jax.lax.while_loop(
             pending, lambda s: phase(s, uray, inv_dir, limit_u), state
         )
+        best_u, pack = state[3], state[4]
     else:
-        # uniform compacted batches: masked gathers cost FULL width whether
-        # or not a lane is pending, so every phase runs on the first W
-        # pending-sorted lanes. This adapts from the 2%-pending finisher
-        # case (one or two batches total) to fully-incoherent wavefronts
-        # (round-robin sweeps) with one code path.
-        W = max(4096, n // BATCH_DIV)
+        # ASYMMETRIC phase widths (measured, experiments/step_cost.py):
+        # a descent step costs ~0.43 ms FIXED + only ~2.6 ns/lane, so
+        # descent runs on the WHOLE wavefront in place — no per-phase
+        # state swap, no round-robin sweep; a fat test round costs
+        # ~50 ns/lane (2.5 KB row, bandwidth-bound), so tests run on a
+        # NARROW compacted batch of candidate-holding lanes (fullest
+        # buffers first, relieving descent stalls). Once the pending
+        # tail fits, the whole problem compacts to a narrower stage so
+        # the tail stops paying full-width marginal costs.
+        best_full = best_u0
+        pack_full = jnp.full(n, -1, jnp.int32)
+        idx = None  # stage lanes -> original lanes (None = identity)
+        w = n
+        sray, sinv, slim = uray, inv_dir, limit_u
 
-        def outer_body(state):
-            order = jnp.argsort(state[7])  # pending lanes first (stable)
-            sel = order[:W]
-            sub_ray, sub_inv, sub_limit = gather_sub(sel)
-            sub = tuple(a[sel] for a in state)
-            sub = phase(sub, sub_ray, sub_inv, sub_limit)
-            return tuple(a.at[sel].set(b) for a, b in zip(state, sub))
+        while True:
+            next_w = max(4096, w // LADDER_DIV)
+            last = next_w >= w
+            thresh = 0 if last else next_w
+            test_w = max(2048, min(w, w // TEST_DIV))
 
-        state = jax.lax.while_loop(pending, outer_body, state)
+            def stage_phase(c, sray=sray, sinv=sinv, slim=slim, test_w=test_w):
+                state = c
+                state = _descent_burst(
+                    ct.tree, sray, sinv, t_min, slim, state, DESCENT_STEPS
+                )
+                n_cand = jnp.sum(state[5] < INF, axis=1)
+                prio = jnp.where(
+                    ~state[7] & (n_cand > 0), -n_cand, jnp.int32(1)
+                )
+                sel = jnp.argsort(prio)[:test_w]
+                sub = tuple(a[sel] for a in state)
+                sub_ray = Ray(
+                    Vec3(sray.origin.x[sel], sray.origin.y[sel], sray.origin.z[sel]),
+                    Vec3(sray.dir.x[sel], sray.dir.y[sel], sray.dir.z[sel]),
+                )
+                sub_inv = Vec3(sinv.x[sel], sinv.y[sel], sinv.z[sel])
+                sub = _test_burst(
+                    ct, sub_ray, sub_ray.dir, sub_inv, t_min, slim[sel], sub,
+                    any_hit,
+                )
+                state = tuple(a.at[sel].set(b) for a, b in zip(state, sub))
+                cur, sp, stack, best_u, pack, cand_t, cand_id, done = state
+                done = done | ((cur < 0) & ~jnp.any(cand_t < INF, axis=1))
+                if any_hit:
+                    done = done | (best_u < slim)
+                return (cur, sp, stack, best_u, pack, cand_t, cand_id, done)
 
-    best_u, pack = state[3], state[4]
+            def stage_cond(state, thresh=thresh):
+                return jnp.sum(~state[7]) > thresh
+
+            state = jax.lax.while_loop(stage_cond, stage_phase, state)
+
+            # record this stage's results for every lane it owned
+            if idx is None:
+                best_full, pack_full = state[3], state[4]
+            else:
+                best_full = best_full.at[idx].set(state[3])
+                pack_full = pack_full.at[idx].set(state[4])
+            if last:
+                break
+
+            # compact the (<= next_w) pending lanes into the next stage
+            order = jnp.argsort(state[7])
+            sel = order[:next_w]
+            idx = sel if idx is None else idx[sel]
+            state = tuple(a[sel] for a in state)
+            sray = Ray(
+                Vec3(sray.origin.x[sel], sray.origin.y[sel], sray.origin.z[sel]),
+                Vec3(sray.dir.x[sel], sray.dir.y[sel], sray.dir.z[sel]),
+            )
+            sinv = Vec3(sinv.x[sel], sinv.y[sel], sinv.z[sel])
+            slim = slim[sel]
+            w = next_w
+
+        best_u, pack = best_full, pack_full
     if any_hit:
         tri = jnp.where(pack >= 0, 0, -1)
         u = v = w = jnp.zeros((n,), DTYPE)
