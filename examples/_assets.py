@@ -20,6 +20,31 @@ from rpt_tpu.meshes import displaced_blob, uv_sphere  # noqa: E402
 DATA = os.path.join(os.path.dirname(__file__), "..", "data")
 
 
+def _preview_decimate(mesh: "rpt.Mesh") -> "rpt.Mesh":
+    """Under RPT_TPU_PREVIEW on the CPU backend (the test/smoke path),
+    subsample huge meshes below the fat-cluster threshold: the tiled +
+    deferred traversal graph takes minutes to compile on CPU for a
+    handful of preview pixels. Real (TPU) runs are untouched."""
+    import jax
+
+    from rpt_tpu.scene import CLUSTERS_MIN_TRIS
+    from rpt_tpu.shapes import Mesh
+
+    cap = CLUSTERS_MIN_TRIS - 1
+    if (
+        not os.environ.get("RPT_TPU_PREVIEW")
+        or jax.default_backend() != "cpu"
+        or len(mesh) <= cap
+    ):
+        return mesh
+    sel = np.linspace(0, len(mesh) - 1, cap).astype(np.int64)
+    print(
+        f"note: preview-decimating mesh {len(mesh)} -> {len(sel)} tris",
+        file=sys.stderr,
+    )
+    return Mesh(mesh.vertices[sel], mesh.normals[sel])
+
+
 def get_mesh(name: str, fallback_tris: int = 20000) -> "rpt.Mesh":
     """Load ``data/<name>`` (.obj/.stl) or synthesize a stand-in blob."""
     for ext, loader in ((".obj", "load_obj"), (".stl", "load_stl")):
@@ -27,7 +52,7 @@ def get_mesh(name: str, fallback_tris: int = 20000) -> "rpt.Mesh":
         if os.path.exists(path):
             from rpt_tpu import io
 
-            return getattr(io, loader)(path)
+            return _preview_decimate(getattr(io, loader)(path))
     print(f"note: data/{name}.obj not found; using procedural stand-in", file=sys.stderr)
     n = max(8, int((fallback_tris / 2) ** 0.5))
     seed = abs(hash(name)) % (2**31)
@@ -37,6 +62,7 @@ def get_mesh(name: str, fallback_tris: int = 20000) -> "rpt.Mesh":
     # transform (e.g. dragon.py's scale 3.4) swallows its camera and
     # floor. Shrink to max half-extent 0.35 with the base at y=-0.294 so
     # the dragon example's x3.4 rests the stand-in on its y=-1 plane.
+    blob = _preview_decimate(blob)
     v = blob.vertices.reshape(-1, 3)
     half = float(np.abs(v).max())
     s = 0.35 / max(half, 1e-9)

@@ -269,35 +269,73 @@ def _packed_topk(starts, pos_rows, query, k, rad, w, live, cells, dims,
         gx = jnp.maximum(axis_gap(query.x, cx, jnp.int32(dx), ox), 0.0)
         gy = jnp.maximum(axis_gap(query.y, cy, jnp.int32(dy), oy), 0.0)
         col_dist.append(jnp.sqrt(gx * gx + gy * gy))
-    lens = jnp.stack(col_len, axis=1)
-    offs = jnp.cumsum(lens, axis=1) - lens  # exclusive prefix
-    total = offs[:, -1] + lens[:, -1]
+    # ---- BLOCKED window assembly -------------------------------------
+    # Each column is a CONTIGUOUS run [s, e) in this grid's sort order,
+    # so candidates are fetched as aligned 8-photon component-major
+    # blocks ([x*8|y*8|z*8|pad*8] = 32 f32): 8x fewer gather rows, and
+    # the gather output tiles at (., 32) -> 4x padding instead of the
+    # per-element (., 4) rows' 32x (a (n*w, 4) f32 gather padded to
+    # (n*w, 128) OOM'd real photon wavefronts).
+    p8 = -(-pos_rows.shape[0] // 8)
+    pad = p8 * 8 - pos_rows.shape[0]
+    if pad:
+        pos_rows = jnp.concatenate(
+            [pos_rows, jnp.full((pad, 4), 1e30, pos_rows.dtype)]
+        )
+    pos_blk = (
+        pos_rows.reshape(p8, 8, 4).transpose(0, 2, 1).reshape(p8, 32)
+    )
+    nb = len(col_s)
+    b_s = [col_s[j] >> 3 for j in range(nb)]
+    b_len = [
+        jnp.where(
+            col_len[j] > 0,
+            ((col_s[j] + col_len[j] + 7) >> 3) - b_s[j],
+            0,
+        )
+        for j in range(nb)
+    ]
+    blens = jnp.stack(b_len, axis=1)
+    boffs = jnp.cumsum(blens, axis=1) - blens  # exclusive prefix
+    btotal = boffs[:, -1] + blens[:, -1]
+    wb = w // 8 + 2 * nb  # element window in blocks + alignment spill
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1)
-    idx = jnp.zeros((n, w), jnp.int32)
-    for j in range(len(col_s)):
-        o = offs[:, j][:, None]
-        m = (iota >= o) & (iota < o + lens[:, j][:, None])
-        idx = jnp.where(m, col_s[j][:, None] + (iota - o), idx)
-    ok = iota < jnp.minimum(total, w)[:, None]
+    biota = jax.lax.broadcasted_iota(jnp.int32, (n, wb), 1)
+    bidx = jnp.zeros((n, wb), jnp.int32)
+    sel_s = jnp.zeros((n, wb), jnp.int32)
+    sel_e = jnp.zeros((n, wb), jnp.int32)
+    for j in range(nb):
+        o = boffs[:, j][:, None]
+        m = (biota >= o) & (biota < o + b_len[j][:, None])
+        bidx = jnp.where(m, b_s[j][:, None] + (biota - o), bidx)
+        sel_s = jnp.where(m, col_s[j][:, None], sel_s)
+        sel_e = jnp.where(m, (col_s[j] + col_len[j])[:, None], sel_e)
+    ok_blk = biota < jnp.minimum(btotal, wb)[:, None]
 
     # overflow certificate: min distance over columns not fully kept
     dropped = jnp.stack(
-        [offs[:, j] + lens[:, j] > w for j in range(len(col_s))], axis=1
+        [boffs[:, j] + b_len[j] > wb for j in range(nb)], axis=1
     )
     dist_mat = jnp.stack(col_dist, axis=1)
     r_over = jnp.min(jnp.where(dropped, dist_mat, jnp.inf), axis=1)
     r_cov = jnp.minimum(r_cov, r_over)
 
-    rows = jnp.take(pos_rows, idx.reshape(-1), axis=0).reshape(n, w, 4)
-    d2 = (
-        (rows[:, :, 0] - query.x[:, None]) ** 2
-        + (rows[:, :, 1] - query.y[:, None]) ** 2
-        + (rows[:, :, 2] - query.z[:, None]) ** 2
+    blk = jnp.take(pos_blk, bidx.reshape(-1), axis=0).reshape(n, wb, 4, 8)
+    slot8 = jax.lax.broadcasted_iota(jnp.int32, (n, wb, 8), 2)
+    g = (bidx * 8)[:, :, None] + slot8  # global photon element ids
+    valid_e = (
+        (g >= sel_s[:, :, None]) & (g < sel_e[:, :, None])
+        & ok_blk[:, :, None]
     )
-    d2 = jnp.where(ok, d2, jnp.inf)
+    d2 = (
+        (blk[:, :, 0, :] - query.x[:, None, None]) ** 2
+        + (blk[:, :, 1, :] - query.y[:, None, None]) ** 2
+        + (blk[:, :, 2, :] - query.z[:, None, None]) ** 2
+    )
+    d2 = jnp.where(valid_e, d2, jnp.inf).reshape(n, wb * 8)
+    idx_e = g.reshape(n, wb * 8)
     neg_d2, top_pos = jax.lax.top_k(-d2, k)
-    return jnp.take_along_axis(idx, top_pos, axis=1), -neg_d2, r_cov
+    return jnp.take_along_axis(idx_e, top_pos, axis=1), -neg_d2, r_cov
 
 
 def _fine_cells(static, query):

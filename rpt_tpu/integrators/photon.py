@@ -49,6 +49,7 @@ POINT_BEAM = "point_beam"
 BEAM_BEAM = "beam_beam"
 
 PHOTON_ROW = 12  # [pos(3), dir(3), power(3), start(3)]
+PHOTON_CHUNK = 32  # k-NN photons vectorized per scan chunk (surface_estimate)
 BEAM_THIN = 0.001  # photon.rs:780 — beam maps keep 0.1% of volume photons
 
 
@@ -401,23 +402,63 @@ def surface_estimate(scene, tables, pmap: PhotonMapData, ray: Ray, hit, keys,
     )
 
     color = mat.color_query() * mat.emittance_query()
-    acc = Vec3.zeros(n)
-    for kk in range(gather_size):
-        p_pos = Vec3(rows[:, kk, 0], rows[:, kk, 1], rows[:, kk, 2])
-        p_dir = Vec3(rows[:, kk, 3], rows[:, kk, 4], rows[:, kk, 5])
-        p_pow = Vec3(rows[:, kk, 6], rows[:, kk, 7], rows[:, kk, 8])
-        ok = valid[:, kk] & hitmask
+
+    # Photons accumulate in CHUNKS of <= PHOTON_CHUNK via one lax.scan:
+    # each chunk vectorizes over (n * kc) lanes, so the visibility
+    # recheck (photon.rs:353-361) is ONE occlusion wavefront per chunk.
+    # (The round-1 Python loop unrolled gather_size (up to 100) copies of
+    # the full occlusion-traversal graph — minutes of XLA compile — and
+    # dispatched them sequentially at run time.)
+    kc = min(gather_size, PHOTON_CHUNK)
+    k_pad = -(-gather_size // kc) * kc
+    if k_pad != gather_size:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((n, k_pad - gather_size, PHOTON_ROW), rows.dtype)],
+            axis=1,
+        )
+        valid = jnp.concatenate(
+            [valid, jnp.zeros((n, k_pad - gather_size), bool)], axis=1
+        )
+    rows_c = rows.reshape(n, k_pad // kc, kc, PHOTON_ROW).transpose(1, 0, 2, 3)
+    valid_c = valid.reshape(n, k_pad // kc, kc).transpose(1, 0, 2)
+
+    nm = n * kc
+
+    def bc(a):
+        return jnp.broadcast_to(a[:, None], (n, kc)).reshape(nm)
+
+    mat_f = jax.tree_util.tree_map(bc, mat)
+    normal_f = Vec3(bc(hit.normal.x), bc(hit.normal.y), bc(hit.normal.z))
+    wo_f = Vec3(bc(wo.x), bc(wo.y), bc(wo.z))
+    pos_f = Vec3(bc(pos.x), bc(pos.y), bc(pos.z))
+    hitmask_f = bc(hitmask)
+
+    def chunk(acc, inp):
+        rws, vld = inp  # (n, kc, ROW), (n, kc)
+
+        def fl(i):
+            return rws[:, :, i].reshape(nm)
+
+        p_pos = Vec3(fl(0), fl(1), fl(2))
+        p_dir = Vec3(fl(3), fl(4), fl(5))
+        p_pow = Vec3(fl(6), fl(7), fl(8))
+        ok = vld.reshape(nm) & hitmask_f
         if occlusion_check:
-            # photon-to-surface visibility recheck (photon.rs:353-361)
-            disp = pos - p_pos
+            disp = pos_f - p_pos
             dist = disp.length()
             sray = Ray(p_pos, disp / jnp.maximum(dist, 1e-20))
-            blocked = occluded(scene, tables, sray, dist * (1.0 - scene.shadow_eps))
-            ok &= ~blocked
-        f = bsdf(mat, hit.normal, wo, p_dir)
-        contrib = f * p_pow * jnp.clip(p_dir.dot(hit.normal), 0.0, 1.0)
-        acc = acc + where(ok, contrib, zero)
-    color = color + acc
+            # dead lanes get limit -1: every traversal rejects in O(1)
+            limit = jnp.where(ok, dist * (1.0 - scene.shadow_eps), -1.0)
+            ok &= ~occluded(scene, tables, sray, limit)
+        f = bsdf(mat_f, normal_f, wo_f, p_dir)
+        contrib = f * p_pow * jnp.clip(p_dir.dot(normal_f), 0.0, 1.0)
+        c = where(ok, contrib, Vec3.zeros(nm)).to_array()
+        return acc + c.reshape(n, kc, 3).sum(axis=1), None
+
+    acc_arr, _ = jax.lax.scan(
+        chunk, jnp.zeros((n, 3), DTYPE), (rows_c, valid_c)
+    )
+    color = color + Vec3(acc_arr[:, 0], acc_arr[:, 1], acc_arr[:, 2])
     inv = jnp.where(max_d2 > 0.0, 1.0 / (math.pi * max_d2), 0.0)
     return where(hitmask, color * inv, zero)
 
@@ -445,12 +486,24 @@ def volume_estimate_point(scene, tables, pmap: PhotonMapData, medium, ray: Ray, 
         rows = jnp.take(pmap.volume["rows"], idx.reshape(-1), axis=0).reshape(
             n, gather_size_volume, PHOTON_ROW
         )
-        acc = Vec3.zeros(n)
-        for kk in range(gather_size_volume):
-            p_dir = Vec3(rows[:, kk, 3], rows[:, kk, 4], rows[:, kk, 5])
-            p_pow = Vec3(rows[:, kk, 6], rows[:, kk, 7], rows[:, kk, 8])
-            ph = medium.phase(wo, p_dir)
-            acc = acc + where(valid[:, kk], p_pow * med_color * ph, zero)
+        # vectorized over all (n * k) photon-lane pairs (the round-1
+        # Python loop unrolled the graph k times)
+        kv = gather_size_volume
+        nm = n * kv
+
+        def bc(a):
+            return jnp.broadcast_to(a[:, None], (n, kv)).reshape(nm)
+
+        p_dir = Vec3(*(rows[:, :, 3 + i].reshape(nm) for i in range(3)))
+        p_pow = Vec3(*(rows[:, :, 6 + i].reshape(nm) for i in range(3)))
+        wo_f = Vec3(bc(wo.x), bc(wo.y), bc(wo.z))
+        med_color_f = Vec3(bc(med_color.x), bc(med_color.y), bc(med_color.z))
+        ph = medium.phase(wo_f, p_dir)
+        contrib = where(
+            valid.reshape(nm), p_pow * med_color_f * ph, Vec3.zeros(nm)
+        ).to_array()
+        acc_arr = contrib.reshape(n, kv, 3).sum(axis=1)
+        acc = Vec3(acc_arr[:, 0], acc_arr[:, 1], acc_arr[:, 2])
         denom = (4.0 / 3.0) * math.pi * jnp.maximum(max_d2, 1e-30) ** 1.5
         vol_color = acc / denom / ext
         vol_color = vol_color * (medium.transmittence(ray, d) / jnp.maximum(d_pdf, 1e-30))

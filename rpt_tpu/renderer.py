@@ -353,6 +353,10 @@ def _photon_launch(scene: CompiledScene, camera: Camera, width: int, height: int
     n_pix = width * height
     dim = float(max(width, height))
     xn_np, yn_np, pixel_ids, inv_np = _pixel_grid(width, height)
+    # k-NN gather windows cost ~(window/8) 512 B block rows per query
+    # lane; an unchunked 512x512 wavefront with a 2048-wide window would
+    # allocate tens of GB. lax.map over pixel chunks bounds peak memory.
+    CH = 16384
 
     def launch(tables, pmap, key):
         xn = jnp.asarray(xn_np, DTYPE)
@@ -366,11 +370,32 @@ def _photon_launch(scene: CompiledScene, camera: Camera, width: int, height: int
             jx = sampling.uniform(sampling.fold(keys, 1), -1.0 / dim, 1.0 / dim)
             jy = sampling.uniform(sampling.fold(keys, 2), -1.0 / dim, 1.0 / dim)
             ray = camera.cast_ray(xn + jx, yn + jy, sampling.fold(keys, 3))
-            color = estimate_indirect(
-                scene, tables, pmap, ray, sampling.fold(keys, 4),
-                gather_size, gather_size_volume, occlusion_check,
-            )
-            return acc + color.to_array().astype(jnp.float32), None
+            ekeys = sampling.fold(keys, 4)
+            if n_pix > CH:
+                n_pad = -(-n_pix // CH) * CH
+                pad = n_pad - n_pix
+
+                def padf(a):
+                    return jnp.concatenate([a, a[:pad]]) if pad else a
+
+                ray_c, keys_c = jax.tree_util.tree_map(
+                    lambda a: padf(a).reshape((n_pad // CH, CH) + a.shape[1:]),
+                    (ray, ekeys),
+                )
+                out = jax.lax.map(
+                    lambda rc: estimate_indirect(
+                        scene, tables, pmap, rc[0], rc[1],
+                        gather_size, gather_size_volume, occlusion_check,
+                    ).to_array().astype(jnp.float32),
+                    (ray_c, keys_c),
+                )
+                color = out.reshape(n_pad, 3)[:n_pix]
+            else:
+                color = estimate_indirect(
+                    scene, tables, pmap, ray, ekeys,
+                    gather_size, gather_size_volume, occlusion_check,
+                ).to_array().astype(jnp.float32)
+            return acc + color, None
 
         acc0 = jnp.zeros((n_pix, 3), jnp.float32)
         total, _ = jax.lax.scan(one_sample, acc0, jnp.arange(n_samples))

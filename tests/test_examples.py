@@ -27,6 +27,8 @@ ALL_EXAMPLES = sorted(
 @pytest.fixture(autouse=True)
 def _preview(monkeypatch, tmp_path):
     monkeypatch.setenv("RPT_TPU_PREVIEW", "32")
+    monkeypatch.setenv("RPT_TPU_PREVIEW_SAMPLES", "2")
+    monkeypatch.setenv("RPT_TPU_PREVIEW_PHOTONS", "2000")
     monkeypatch.setenv("RPT_TPU_FRAMES", "1")
     monkeypatch.chdir(tmp_path)
 
