@@ -28,5 +28,8 @@ def color_bytes(color: np.ndarray) -> np.ndarray:
     Host-side (numpy): image encode is not performance-relevant.
     Matches the reference's trunc-toward-zero u8 cast.
     """
-    c = np.clip(np.asarray(color, np.float64), 0.0, 1.0)
+    c = np.asarray(color, np.float64)
+    # Rust's f64::max(NaN, 0.0) returns 0.0, so the reference encodes NaN
+    # radiance as black; np.clip would propagate it into a u8-cast error
+    c = np.clip(np.nan_to_num(c, nan=0.0), 0.0, 1.0)
     return (c ** (1.0 / SRGB_GAMMA) * 255.0).astype(np.uint8)

@@ -75,7 +75,10 @@ def main():
             rc, tail = -1, "TIMEOUT"
         wall = time.time() - t0
         pngs = sorted(
-            f for f in os.listdir(workdir) if f.endswith(".png")
+            os.path.relpath(os.path.join(dp, f), workdir)
+            for dp, _, files in os.walk(workdir)
+            for f in files
+            if f.endswith(".png")
         )
         ok = rc == 0 and bool(pngs)
         results.append(dict(name=name, ok=ok, rc=rc, wall_s=round(wall, 1),
