@@ -180,10 +180,11 @@ def _descent_burst(tree, ray, inv_dir, t_min, limit_u, state, max_steps):
 
 
 def _test_burst(ct: ClusterTables, ray, dn, inv_dir, t_min, limit_u, state,
-                any_hit: bool):
+                any_hit: bool, rounds: int | None = None):
     """Drain candidate-group buffers: per round each pending lane
     re-derives its nearest group's child bounds, tests the nearest
     surviving cluster's fat row, and clears that child bit."""
+    rounds = TEST_ROUNDS if rounds is None else rounds
     n = ray.origin.shape[0]
     wide = _tree_wide(ct.tree)
     full = (1 << wide) - 1
@@ -257,7 +258,7 @@ def _test_burst(ct: ClusterTables, ray, dn, inv_dir, t_min, limit_u, state,
         pend = jnp.any(cand_t < cutoff[:, None], axis=1) & ~done
         if any_hit:
             pend &= ~(best_u < limit_u)
-        return jnp.any(pend) & (i < TEST_ROUNDS)
+        return jnp.any(pend) & (i < rounds)
 
     state, _ = jax.lax.while_loop(
         cond, lambda c: (step(c[0]), c[1] + 1), (state, jnp.int32(0))
@@ -346,29 +347,53 @@ def deferred_traverse(ct: ClusterTables, ray: Ray, t_min, limit, best_time,
             next_w = max(4096, w // LADDER_DIV)
             last = next_w >= w
             thresh = 0 if last else next_w
-            test_w = max(2048, min(w, w // TEST_DIV))
+            wide_w = max(2048, min(w, w // TEST_DIV))
+            narrow_w = max(2048, min(w, w // (TEST_DIV * 4)))
 
-            def stage_phase(c, sray=sray, sinv=sinv, slim=slim, test_w=test_w):
+            def make_test(test_w, rounds, sray=sray, sinv=sinv, slim=slim):
+                def run(state):
+                    n_cand = jnp.sum(state[5] < INF, axis=1)
+                    prio = jnp.where(
+                        ~state[7] & (n_cand > 0), -n_cand, jnp.int32(1)
+                    )
+                    sel = jnp.argsort(prio)[:test_w]
+                    sub = tuple(a[sel] for a in state)
+                    sub_ray = Ray(
+                        Vec3(sray.origin.x[sel], sray.origin.y[sel],
+                             sray.origin.z[sel]),
+                        Vec3(sray.dir.x[sel], sray.dir.y[sel], sray.dir.z[sel]),
+                    )
+                    sub_inv = Vec3(sinv.x[sel], sinv.y[sel], sinv.z[sel])
+                    sub = _test_burst(
+                        ct, sub_ray, sub_ray.dir, sub_inv, t_min, slim[sel],
+                        sub, any_hit, rounds=rounds,
+                    )
+                    return tuple(a.at[sel].set(b) for a, b in zip(state, sub))
+
+                return run
+
+            def stage_phase(c, sray=sray, sinv=sinv, slim=slim,
+                            wide_w=wide_w, narrow_w=narrow_w):
                 state = c
                 state = _descent_burst(
                     ct.tree, sray, sinv, t_min, slim, state, DESCENT_STEPS
                 )
-                n_cand = jnp.sum(state[5] < INF, axis=1)
-                prio = jnp.where(
-                    ~state[7] & (n_cand > 0), -n_cand, jnp.int32(1)
-                )
-                sel = jnp.argsort(prio)[:test_w]
-                sub = tuple(a[sel] for a in state)
-                sub_ray = Ray(
-                    Vec3(sray.origin.x[sel], sray.origin.y[sel], sray.origin.z[sel]),
-                    Vec3(sray.dir.x[sel], sray.dir.y[sel], sray.dir.z[sel]),
-                )
-                sub_inv = Vec3(sinv.x[sel], sinv.y[sel], sinv.z[sel])
-                sub = _test_burst(
-                    ct, sub_ray, sub_ray.dir, sub_inv, t_min, slim[sel], sub,
-                    any_hit,
-                )
-                state = tuple(a.at[sel].set(b) for a, b in zip(state, sub))
+                # tiered test width: a static batch sized for the busy
+                # early phases wastes ~3x fat-row bandwidth in the tail
+                # (PERF.md), so pick the tier by the live tester count
+                # (lax.cond executes only the chosen branch)
+                if narrow_w >= wide_w:
+                    state = make_test(wide_w, TEST_ROUNDS)(state)
+                else:
+                    testers = jnp.sum(
+                        ~state[7] & jnp.any(state[5] < INF, axis=1)
+                    )
+                    state = jax.lax.cond(
+                        testers > narrow_w,
+                        make_test(wide_w, TEST_ROUNDS),
+                        make_test(narrow_w, TEST_ROUNDS * 4),
+                        state,
+                    )
                 cur, sp, stack, best_u, pack, cand_t, cand_id, done = state
                 done = done | ((cur < 0) & ~jnp.any(cand_t < INF, axis=1))
                 if any_hit:

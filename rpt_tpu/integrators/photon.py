@@ -357,7 +357,9 @@ def build_photon_map(scene, tables, surface_rows: np.ndarray, volume_rows: np.nd
     return data
 
 
-def _knn_radius_device(static, tabs, n: int, k: int, chunk: int = 1 << 18) -> np.ndarray:
+def _knn_radius_device(static, tabs, n: int, k: int, chunk: int = 1 << 15) -> np.ndarray:
+    # chunk bounds the (chunk * window/8, 32) blocked k-NN gather: at
+    # 2^18 queries a 1024-wide window allocated ~19.6 GB padded on TPU
     """Per-photon distance to its k-th NN (including itself), device-side."""
     rows = tabs["pos4"]
     out = np.zeros(len(np.asarray(rows)), np.float32)
