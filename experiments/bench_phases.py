@@ -148,14 +148,14 @@ def main():
             ct, s_ray, scene.t_min, s_limit, jnp.full(n, INF, DTYPE), any_hit=True
         )
         occ_bvh_s = t_ < s_limit
-        # report certification; finish uncertified via the exact tree
-        from rpt_tpu.intersect import _finish_uncertified
+        # report certification; finish uncertified via the deferred tree
+        from rpt_tpu.deferred import deferred_traverse
 
-        t2, _, _, _, _ = _finish_uncertified(
-            tables["bvh"], s_ray, scene.t_min, s_limit, t_, tri, u, v, w,
-            ~cert, any_hit=True,
+        t2, _, _, _, _ = deferred_traverse(
+            ct, s_ray, scene.t_min, s_limit, t_, any_hit=True,
+            active=~cert & ~occ_bvh_s,
         )
-        occ_bvh_s = t2 < s_limit
+        occ_bvh_s = occ_bvh_s | (t2 < s_limit)
         occ_bvh = jnp.zeros(n, bool).at[order].set(occ_bvh_s)
         # forward analytic prims
         best = None

@@ -394,11 +394,11 @@ def knn_query(static: PhotonGridStatic, tables, pos_rows, query: Vec3, k: int):
     if static.total_cap3 > 0 and pos4_2 is not None:
         # stray pass on the coarse grid, compacted to flagged lanes first
         # (coarse windows are wide; masked full-width gathers would cost
-        # n x total_cap3 row fetches regardless of the flag)
+        # n x total_cap3 row fetches regardless of the flag). The batch
+        # LOOPS until every flagged lane is served — a single batch would
+        # silently leave overflow lanes (> W flagged) with uncovered
+        # fine-grid results, breaking the "never silently ignored" promise.
         W = n if n < 4096 else max(4096, n // 4)
-        order = jnp.argsort(~flagged)
-        sel = order[:W]
-        subq = Vec3(query.x[sel], query.y[sel], query.z[sel])
         nx2, ny2, nz2 = static.dims2
         ox, oy, oz = static.origin
         inv_h2 = static.inv_h2
@@ -408,26 +408,40 @@ def knn_query(static: PhotonGridStatic, tables, pos_rows, query: Vec3, k: int):
                 jnp.floor((v - o) * inv_h2).astype(jnp.int32), 0, d - 1
             )
 
-        cells2 = (
-            coord2(subq.x, ox, nx2), coord2(subq.y, oy, ny2),
-            coord2(subq.z, oz, nz2),
-        )
-        idx3c, d2_3, rc3 = _packed_topk(
-            tables["starts2"], pos4_2, subq, k, 1, static.total_cap3,
-            flagged[sel], cells2, static.dims2, static.origin, static.h2,
-        )
-        idx3 = jnp.take(tables["map2"], jnp.maximum(idx3c, 0))
-        # adopt the coarse result where it certifies or tightens the bound
-        cert3 = jnp.isfinite(d2_3[:, k - 1]) & (rc3 > 0.0) & (
-            d2_3[:, k - 1] <= rc3 * rc3
-        )
-        better = flagged[sel] & (cert3 | (d2_3[:, k - 1] < top_d2[sel, k - 1]))
-        top_idx = top_idx.at[sel].set(
-            jnp.where(better[:, None], idx3, top_idx[sel])
-        )
-        top_d2 = top_d2.at[sel].set(
-            jnp.where(better[:, None], d2_3, top_d2[sel])
-        )
+        def stray_batch(carry):
+            top_idx, top_d2, rem = carry
+            order = jnp.argsort(~rem)
+            sel = order[:W]
+            subq = Vec3(query.x[sel], query.y[sel], query.z[sel])
+            cells2 = (
+                coord2(subq.x, ox, nx2), coord2(subq.y, oy, ny2),
+                coord2(subq.z, oz, nz2),
+            )
+            idx3c, d2_3, rc3 = _packed_topk(
+                tables["starts2"], pos4_2, subq, k, 1, static.total_cap3,
+                rem[sel], cells2, static.dims2, static.origin, static.h2,
+            )
+            idx3 = jnp.take(tables["map2"], jnp.maximum(idx3c, 0))
+            # adopt the coarse result where it certifies or tightens the bound
+            cert3 = jnp.isfinite(d2_3[:, k - 1]) & (rc3 > 0.0) & (
+                d2_3[:, k - 1] <= rc3 * rc3
+            )
+            better = rem[sel] & (cert3 | (d2_3[:, k - 1] < top_d2[sel, k - 1]))
+            top_idx = top_idx.at[sel].set(
+                jnp.where(better[:, None], idx3, top_idx[sel])
+            )
+            top_d2 = top_d2.at[sel].set(
+                jnp.where(better[:, None], d2_3, top_d2[sel])
+            )
+            rem = rem.at[sel].set(False)
+            return top_idx, top_d2, rem
+
+        if W >= n:
+            top_idx, top_d2, _ = stray_batch((top_idx, top_d2, flagged))
+        else:
+            top_idx, top_d2, _ = jax.lax.while_loop(
+                lambda c: jnp.any(c[2]), stray_batch, (top_idx, top_d2, flagged)
+            )
 
     valid = jnp.isfinite(top_d2)
     return top_idx, top_d2, valid

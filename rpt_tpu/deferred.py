@@ -130,12 +130,18 @@ def _descent_burst(tree, ray, inv_dir, t_min, limit_u, state, max_steps):
         )
 
         # ---- candidate group append (all leaf hits, one slot) ----------
+        # Append at the FIRST FREE slot, not at index n_cand: test-burst
+        # prune/drain INF-out slots mid-buffer, so finite entries need not
+        # form a prefix — appending at the count would overwrite a live
+        # group and silently drop its clusters. The active gate
+        # (n_cand < CAND_SLOTS) guarantees a free slot exists.
         leaf_hit = hit & (meta > 0)
         any_leaf = jnp.any(leaf_hit, axis=1)
         g_t = jnp.maximum(jnp.min(jnp.where(leaf_hit, enter, INF), axis=1), t_min)
         g_bits = jnp.sum(jnp.where(leaf_hit, 1 << slot8, 0), axis=1)
         g_id = (row_id << wide) | g_bits
-        at = (cslot_iota == n_cand[:, None]) & any_leaf[:, None]
+        free = jnp.argmax(cand_t >= INF, axis=1).astype(jnp.int32)
+        at = (cslot_iota == free[:, None]) & any_leaf[:, None]
         cand_t = jnp.where(at, g_t[:, None], cand_t)
         cand_id = jnp.where(at, g_id[:, None], cand_id)
 

@@ -644,55 +644,6 @@ TILED_MIN_RAYS = 4096
 # so it culled ~nothing (PERF.md, incoherent-wavefront wall).
 
 
-def _finish_uncertified(bvh, ray, t_min, limit, time, tri, u, v, w, pending,
-                        any_hit: bool):
-    """Run the exact short-stack traversal over the (usually few) lanes the
-    tile path could not certify, in reduced-width fixpoint batches."""
-    n = ray.origin.shape[0]
-    W = max(2048, n // 2)
-    if W >= n:
-        t2, tr2, u2, v2, w2 = _traverse(
-            bvh, ray, t_min, limit, time, any_hit, active=pending
-        )
-        improved = pending & (t2 < time)
-        return (
-            jnp.where(improved, t2, time),
-            jnp.where(improved, tr2, tri),
-            jnp.where(improved, u2, u),
-            jnp.where(improved, v2, v),
-            jnp.where(improved, w2, w),
-        )
-
-    def cond(s):
-        return jnp.any(s[5])
-
-    def body(s):
-        time, tri, u, v, w, pending = s
-        order = jnp.argsort(~pending)  # pending lanes first (stable)
-        sel = order[:W]
-        sub_ray = Ray(take(ray.origin, sel), take(ray.dir, sel))
-        sub_limit = limit[sel] if jnp.ndim(limit) else limit
-        # filler (non-pending) lanes in the batch are masked dead — they
-        # must not re-traverse or extend the batch's round count
-        t2, tr2, u2, v2, w2 = _traverse(
-            bvh, sub_ray, t_min, sub_limit, time[sel], any_hit,
-            active=pending[sel],
-        )
-        improved = pending[sel] & (t2 < time[sel])
-        time = time.at[sel].set(jnp.where(improved, t2, time[sel]))
-        tri = tri.at[sel].set(jnp.where(improved, tr2, tri[sel]))
-        u = u.at[sel].set(jnp.where(improved, u2, u[sel]))
-        v = v.at[sel].set(jnp.where(improved, v2, v[sel]))
-        w = w.at[sel].set(jnp.where(improved, w2, w[sel]))
-        pending = pending.at[sel].set(False)
-        return time, tri, u, v, w, pending
-
-    time, tri, u, v, w, _ = jax.lax.while_loop(
-        cond, body, (time, tri, u, v, w, pending)
-    )
-    return time, tri, u, v, w
-
-
 def bvh_closest_hit(bvh: BVHTables, ray: Ray, t_min, best: Hit,
                     clusters=None, coherent: bool = True) -> Hit:
     """Closest-hit query. Big meshes + wide COHERENT wavefronts (camera

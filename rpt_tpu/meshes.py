@@ -51,12 +51,18 @@ def displaced_blob(
     z = r * np.sin(vv) * np.sin(uu)
     pts = np.stack([x, y, z], axis=-1)  # (n_u, n_v+1, 3)
 
-    # smooth normals by central differences on the parametric grid
+    # smooth normals by central differences on the parametric grid;
+    # du x dv points OUTWARD for this (u around, v pole-to-pole)
+    # parametrization (on the undisplaced sphere it equals +r-hat),
+    # matching the triangle winding below (a,b,c = +u then +v)
     du = np.roll(pts, -1, axis=0) - np.roll(pts, 1, axis=0)
     dv = np.gradient(pts, axis=1)
-    nrm = np.cross(dv, du)
+    nrm = np.cross(du, dv)
     ln = np.linalg.norm(nrm, axis=-1, keepdims=True)
-    nrm = nrm / np.where(ln == 0, 1.0, ln)
+    # poles degenerate (sin v = 0): fall back to the radial direction
+    rad = np.linalg.norm(pts, axis=-1, keepdims=True)
+    radial = pts / np.where(rad == 0, 1.0, rad)
+    nrm = np.where(ln < 1e-12, radial, nrm / np.where(ln == 0, 1.0, ln))
 
     tris = []
     tnrm = []

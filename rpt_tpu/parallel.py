@@ -99,6 +99,66 @@ def render_sharded(scene, camera, width: int, height: int, num_samples: int,
     return np.asarray(out)[:n_pix]
 
 
+def photon_render_sharded(scene, camera, width: int, height: int,
+                          num_samples: int, pmap, kind: str, gather_size: int,
+                          gather_size_volume: int, mesh: Mesh, key,
+                          occlusion_check: bool = True):
+    """Photon-map camera pass with pixels sharded over 'dp' and samples
+    over 'sp'; the photon map is replicated (it is small — §5.8). The
+    TPU-native analog of the reference's row-parallel camera pass
+    (photon.rs:704-717).
+
+    Returns the (H*W, 3) radiance *sum* over ``num_samples`` (host numpy).
+    """
+    from .integrators.photon import estimate_indirect
+
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    assert num_samples % sp == 0, "num_samples must divide the sp axis"
+    n_pix = width * height
+    pad = (-n_pix) % dp
+    n_padded = n_pix + pad
+    dim = float(max(width, height))
+
+    xs = np.arange(n_padded, dtype=np.int64)
+    px = (xs % width).astype(np.float64)
+    py = (xs // width).astype(np.float64)
+    xn = jnp.asarray((2.0 * px + 1.0 - width) / dim, DTYPE)
+    yn = jnp.asarray((2.0 * (height - py) - 1.0 - height) / dim, DTYPE)
+    pix_ids = jnp.asarray(xs, jnp.int32)
+
+    local_samples = num_samples // sp
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp"), P(), P(), P()),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    def launch(xn, yn, pix_ids, tables, pmap, key):
+        sp_idx = jax.lax.axis_index("sp")
+        pix_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(pix_ids)
+
+        def one_sample(acc, s):
+            keys = sampling.fold(pix_keys, sp_idx * local_samples + s)
+            jx = sampling.uniform(sampling.fold(keys, 1), -1.0 / dim, 1.0 / dim)
+            jy = sampling.uniform(sampling.fold(keys, 2), -1.0 / dim, 1.0 / dim)
+            ray = camera.cast_ray(xn + jx, yn + jy, sampling.fold(keys, 3))
+            color = estimate_indirect(
+                scene, tables, pmap, ray, sampling.fold(keys, 4),
+                gather_size, gather_size_volume, occlusion_check,
+            )
+            return acc + color.to_array().astype(jnp.float32), None
+
+        acc0 = jnp.zeros((xn.shape[0], 3), jnp.float32)
+        total, _ = jax.lax.scan(one_sample, acc0, jnp.arange(local_samples))
+        return jax.lax.psum(total, "sp")
+
+    out = launch(xn, yn, pix_ids, scene.tables, pmap, key)
+    return np.asarray(out)[:n_pix]
+
+
 def shoot_photons_sharded(scene, key, photon_count: int, watts: float, kind: str,
                           mesh: Mesh, max_depth: int = 48):
     """Photon shooting sharded by photon index over the whole mesh

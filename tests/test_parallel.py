@@ -110,6 +110,48 @@ def test_sharded_photon_shooting_exact_rows():
     np.testing.assert_array_equal(s8, expected)
 
 
+def test_photon_render_sharded_matches_single_device():
+    """The sharded photon CAMERA pass (pixel blocks over dp, samples over
+    sp, map replicated — photon.rs:704-717 analog) must reproduce the
+    single-device estimate: dp partitioning folds RNG by global pixel id
+    and sp partitioning folds by global sample index, so the sampled
+    values are the same up to psum summation order."""
+    import rpt_tpu.integrators.photon as ph
+    from rpt_tpu.parallel import photon_render_sharded, shoot_photons_sharded
+
+    scene = rpt.Scene()
+    white = rpt.Material.diffuse(rpt.hex_color(0xAAAAAA))
+    floor = rpt.polygon([(0, 0, 0), (0, 0, 10), (10, 0, 10), (10, 0, 0)])
+    wall = rpt.polygon([(0, 0, 0), (10, 0, 0), (10, 10, 0), (0, 10, 0)])
+    light = rpt.polygon([(6, 9.9, 4), (6, 9.9, 6), (4, 9.9, 6), (4, 9.9, 4)])
+    scene.add(rpt.Object(floor).material(white))
+    scene.add(rpt.Object(wall).material(white))
+    scene.add((light, rpt.Material.light(rpt.hex_color(0xFFFFFF), 50.0)))
+    cs = scene.compile()
+
+    key = jax.random.key(5)
+    camera = rpt.Camera.look_at((5, 5, 14), (5, 5, 0), (0, 1, 0), math.pi / 3)
+    mesh8 = make_mesh(8, sp=2)
+    surface, volume = shoot_photons_sharded(
+        cs, key, 4000, 100.0, ph.PHOTON_MAP, mesh8
+    )
+    pmap = ph.build_photon_map(
+        cs, cs.tables, surface, volume, ph.PHOTON_MAP, 8, 8,
+        np.random.default_rng(17),
+    )
+
+    w, h, spp = 24, 16, 2
+    out1 = photon_render_sharded(
+        cs, camera, w, h, spp, pmap, ph.PHOTON_MAP, 8, 8, make_mesh(1, sp=1), key
+    )
+    out8 = photon_render_sharded(
+        cs, camera, w, h, spp, pmap, ph.PHOTON_MAP, 8, 8, mesh8, key
+    )
+    assert np.isfinite(out8).all()
+    assert out8.mean() > 0, "photon estimate should be nonzero"
+    np.testing.assert_allclose(out8, out1, rtol=1e-4, atol=1e-5)
+
+
 def test_dp_only_mesh_bitwise_matches_single():
     """Pixel sharding alone must not change any sampled value."""
     scene = _sphere_scene().compile()

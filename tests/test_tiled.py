@@ -118,11 +118,13 @@ def test_deferred_matches_reference_traversal(big_scene):
     )
     t_old = np.asarray(t_old)
     t_new = np.asarray(t_new)
+    # deferred_traverse is exact by design: hit masks must agree on EVERY
+    # lane; only hit TIMES get an FP-reassociation tolerance (the fat-row
+    # tri test sums in a different order than the leaf-row test)
     mask_agree = np.isfinite(t_old) == np.isfinite(t_new)
-    assert mask_agree.mean() > 0.9997, f"hit masks differ on {(~mask_agree).sum()} lanes"
+    assert mask_agree.all(), f"hit masks differ on {(~mask_agree).sum()} lanes"
     both = np.isfinite(t_old) & np.isfinite(t_new)
-    close = np.abs(t_old[both] - t_new[both]) <= 1e-5 + 1e-5 * t_old[both]
-    assert close.mean() > 0.9997, f"{(~close).sum()} hit times differ"
+    np.testing.assert_allclose(t_new[both], t_old[both], rtol=1e-5, atol=1e-5)
 
 
 def test_deferred_any_hit_and_active_mask(big_scene):
@@ -144,7 +146,7 @@ def test_deferred_any_hit_and_active_mask(big_scene):
         any_hit=True,
     )
     occ_new = np.asarray(t_new) < 3.2
-    assert (occ_old == occ_new).mean() > 0.9997
+    np.testing.assert_array_equal(occ_old, occ_new)
 
     # masked lanes must return their input best untouched
     active = jnp.asarray(np.arange(n) % 3 != 0)
@@ -156,6 +158,47 @@ def test_deferred_any_hit_and_active_mask(big_scene):
     inactive = ~np.asarray(active)
     np.testing.assert_array_equal(t_m[inactive], 7.5)
     assert (np.asarray(tri_m)[inactive] == -1).all()
+
+
+def test_deferred_grazing_rays_exact(big_scene):
+    """Grazing wavefront: rays sweep edge-on past the blob so every lane
+    opens MANY leaf groups at similar t — maximal candidate-buffer churn.
+    This is the torture case for the descent-append/test-drain interplay
+    (the round-2 slot-overwrite bug dropped live groups exactly here)."""
+    from rpt_tpu.deferred import deferred_traverse
+    from rpt_tpu.intersect import _traverse
+
+    bvh = big_scene.tables["bvh"]
+    clusters = big_scene.tables["clusters"]
+    side = 72
+    ys, zs = np.mgrid[0:side, 0:side]
+    y = (ys.ravel() + 0.5) / side * 2.8 - 1.4
+    z = (zs.ravel() + 0.5) / side * 2.8 - 1.4
+    n = side * side
+    origin = np.stack([-4.0 * np.ones(n), y, z], 1)
+    d = np.tile([[1.0, 0.0, 0.0]], (n, 1))
+    # tilt half the rays slightly so they graze rather than pierce
+    d[::2] += np.stack([np.zeros(n // 2), 0.08 * y[::2], 0.08 * z[::2]], 1)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ray = Ray(
+        Vec3(*(jnp.asarray(origin[:, i]) for i in range(3))),
+        Vec3(*(jnp.asarray(d[:, i]) for i in range(3))),
+    )
+
+    t_old, *_ = _traverse(
+        bvh, ray, 1e-4, jnp.full((n,), np.inf, jnp.float32),
+        jnp.full((n,), np.inf, jnp.float32), any_hit=False,
+    )
+    t_new, *_ = deferred_traverse(
+        clusters, ray, 1e-4, jnp.inf, jnp.full((n,), np.inf, jnp.float32),
+        any_hit=False,
+    )
+    t_old, t_new = np.asarray(t_old), np.asarray(t_new)
+    mask_agree = np.isfinite(t_old) == np.isfinite(t_new)
+    assert mask_agree.all(), f"hit masks differ on {(~mask_agree).sum()} lanes"
+    both = np.isfinite(t_old) & np.isfinite(t_new)
+    assert both.sum() > n // 3
+    np.testing.assert_allclose(t_new[both], t_old[both], rtol=1e-5, atol=1e-5)
 
 
 def test_perray_matches_reference_traversal(big_scene):
