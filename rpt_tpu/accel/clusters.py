@@ -30,7 +30,13 @@ import numpy as np
 
 from .bvh import FlatBVH
 
-CLUSTER_TRIS = 64
+import os
+
+# Fat-row slot count. 64 -> 2.5 KB rows (~50 ns/lane test, PERF.md); 32
+# -> 1.25 KB rows (~25 ns/lane) at the price of ~1 extra tree level of
+# node fetches. Overridable for sweeps; every consumer derives the slot
+# count from the static row shapes, so the value is build-time only.
+CLUSTER_TRIS = int(os.environ.get("RPT_TPU_CLUSTER_TRIS", "64"))
 CLUSTER_ROW = 10 * CLUSTER_TRIS  # v1/e1/e2 component blocks + id block
 C_PAD = 128  # cluster count padded for dense (tiles, C) math
 
@@ -200,7 +206,7 @@ def pack_clusters(bvh: FlatBVH, verts: np.ndarray) -> tuple[np.ndarray, np.ndarr
     return fat, sph, rec, sup, supblk, (bb_lo, bb_hi, tri_counts), c
 
 
-WIDE = 8  # children per wide-tree node
+WIDE = int(os.environ.get("RPT_TPU_TREE_WIDE", "16"))  # children per wide-tree node
 WIDE_ROW = 8 * WIDE  # [minx*8][miny*8][minz*8][maxx*8][maxy*8][maxz*8][ptr*8][meta*8]
 
 

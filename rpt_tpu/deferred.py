@@ -53,9 +53,11 @@ from .vec import Vec3
 # while a fat test round costs ~50 ns/lane — so descent phases run at
 # FULL wavefront width (in place, no state swap) and test bursts run on
 # narrow compacted batches of candidate-holding lanes
-CAND_SLOTS = 6  # per-lane candidate-group buffer
-DESCENT_STEPS = 6  # node steps per descent burst (asym_sweep.py optimum)
-TEST_ROUNDS = 3  # fat-test rounds per test burst (tail defers to next phase)
+import os
+
+CAND_SLOTS = int(os.environ.get("RPT_TPU_CAND_SLOTS", "6"))  # per-lane candidate buffer
+DESCENT_STEPS = int(os.environ.get("RPT_TPU_DESCENT_STEPS", "6"))  # steps per descent burst
+TEST_ROUNDS = int(os.environ.get("RPT_TPU_TEST_ROUNDS", "3"))  # fat rounds per test burst
 LADDER_DIV = 8  # stage compaction ratio once the pending tail fits
 TEST_DIV = 4  # test-batch width = stage width / TEST_DIV
 

@@ -214,23 +214,29 @@ class Renderer:
         scene = self.compiled
         key = jax.random.key(self.seed_)
         print("Shooting photons")
+        t0 = _time.perf_counter()
         surface, volume = ph.shoot_photons(
             scene, scene.tables, jax.random.fold_in(key, 1), photon_count,
             self.watts_, kind,
         )
+        t_shoot = _time.perf_counter() - t0
         print(f"PhotonList(surface: {len(surface)}, volume: {len(volume)})")
         for name, rows in (("surface", surface), ("vol", volume)):
             avg = float(np.linalg.norm(rows[:, 6:9], axis=1).mean()) if len(rows) else float("nan")
             print(f"{name} avg: {avg}")
 
         print("Building kdtree")
+        t0 = _time.perf_counter()
         rng = np.random.default_rng(self.seed_ + 17)
         pmap = ph.build_photon_map(
             scene, scene.tables, surface, volume, kind,
             self.gather_size_, self.gather_size_volume_, rng,
         )
+        jax.block_until_ready(pmap)
+        t_build = _time.perf_counter() - t0
 
         print("Tracing rays")
+        t0 = _time.perf_counter()
         fn = _photon_launch(
             scene, self.camera, self.width_, self.height_, kind,
             self.gather_size_, self.gather_size_volume_, self.num_samples_,
@@ -238,6 +244,13 @@ class Renderer:
         )
         out = fn(scene.tables, pmap, jax.random.fold_in(key, 2))
         mean = np.asarray(out, np.float64) / self.num_samples_ * (2.0**self.exposure_value_)
+        t_trace = _time.perf_counter() - t0
+        # shoot/build/trace wall split for PERF.md + bench_extra
+        self.phase_seconds = {"shoot": t_shoot, "build": t_build, "trace": t_trace}
+        print(
+            f"photon phases: shoot {t_shoot:.1f}s build {t_build:.1f}s "
+            f"trace {t_trace:.1f}s"
+        )
         buffer = Buffer(self.width_, self.height_, self.filter_)
         buffer.add_samples(mean.reshape(self.height_, self.width_, 3))
         self._last_buffer = buffer

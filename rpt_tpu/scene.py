@@ -237,12 +237,11 @@ def compile_scene(scene: Scene) -> CompiledScene:
             fat, sph, rec, sup, supblk, (bb_lo, bb_hi, tri_counts), n_c = (
                 pack_clusters(bvh, v)
             )
-            # 16-ary: a 512 B row costs the same gather as 256 B (PERF.md)
-            # but cuts node visits ~15% and phases ~8% on incoherent
-            # wavefronts (experiments/wide_sim.py)
-            ctree, ctree_depth = pack_wide_cluster_tree(
-                bb_lo, bb_hi, tri_counts, wide=16
-            )
+            # 16-ary default: a 512 B row costs the same gather as 256 B
+            # (PERF.md) but cuts node visits ~15% and phases ~8% on
+            # incoherent wavefronts (experiments/wide_sim.py); width is
+            # sweepable via RPT_TPU_TREE_WIDE
+            ctree, ctree_depth = pack_wide_cluster_tree(bb_lo, bb_hi, tri_counts)
             tables["clusters"] = ClusterTables(
                 fat=jnp.asarray(fat), sph=jnp.asarray(sph),
                 rec=jnp.asarray(rec), sup=jnp.asarray(sup),

@@ -121,7 +121,10 @@ def _tile_tri_test(fat_rows, o, dn, t_min, limit, best_t, best_pack, cid,
     (T, 256, 64)) cost ~4.7 ms/round, ~90% of the loop. Triangle id and
     barycentrics are recovered once after the loop (_recover_hit)."""
     T = fat_rows.shape[0]
-    f3 = fat_rows.reshape(T, 10, CLUSTER_TRIS)
+    # slots per cluster row from the static row width (10 component
+    # blocks) — keeps the whole pipeline parametric in CLUSTER_TRIS
+    ct = fat_rows.shape[-1] // 10
+    f3 = fat_rows.reshape(T, 10, ct)
 
     def blk(c):  # (T, 1, 64)
         return f3[:, c, :][:, None, :]
@@ -163,7 +166,7 @@ def _tile_tri_test(fat_rows, o, dn, t_min, limit, best_t, best_pack, cid,
     slot_t = t_masked.min(axis=2)  # (T, TILE)
     slot_i = jnp.argmin(t_masked, axis=2).astype(jnp.int32)
     better = slot_t < best_t
-    pack = cid[:, None] * CLUSTER_TRIS + slot_i
+    pack = cid[:, None] * ct + slot_i
     best_t = jnp.where(better, slot_t, best_t)
     best_pack = jnp.where(better, pack, best_pack)
     return best_t, best_pack
