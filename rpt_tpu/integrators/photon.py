@@ -127,10 +127,11 @@ def _shoot_launch(scene, light_index: int, power_scalar: float, kind: str,
         power = color * power_scalar
 
         materials = tables["materials"]
-        zero = Vec3.zeros(n)
 
         def level(carry, b):
             ray, keys_state, power, alive = carry
+            nw = ray.origin.shape[0]  # stage width (lanes compact between stages)
+            zero = Vec3.zeros(nw)
             kb = sampling.fold(keys_state, jnp.asarray(b))
             wo = -ray.dir.normalize()
 
@@ -141,8 +142,8 @@ def _shoot_launch(scene, light_index: int, power_scalar: float, kind: str,
                 d, _pdf_d, _cdf = medium.sample_d(ray, sampling.fold(kb, 1))
                 vol_event = alive & (d < jnp.where(hit.valid, hit.time, INF))
             else:
-                d = jnp.zeros(n, DTYPE)
-                vol_event = jnp.zeros(n, bool)
+                d = jnp.zeros(nw, DTYPE)
+                vol_event = jnp.zeros(nw, bool)
             surf_event = alive & hit.valid & ~vol_event
 
             # ---- volume interaction (photon.rs:877-915) ----------------
@@ -160,7 +161,7 @@ def _shoot_launch(scene, light_index: int, power_scalar: float, kind: str,
             else:
                 collision = zero
                 wi_v = wo
-                vol_continue = jnp.zeros(n, bool)
+                vol_continue = jnp.zeros(nw, bool)
                 vol_power_next = power
 
             # ---- surface interaction (photon.rs:813-874) ---------------
@@ -197,31 +198,68 @@ def _shoot_launch(scene, light_index: int, power_scalar: float, kind: str,
             )
             return (new_ray, keys_state, new_power, cont), out
 
-        init = (Ray(pos, direction), keys, power, jnp.ones(n, bool))
-        _, (s_mask, v_mask, dpos, ddir, dpow, dstart) = jax.lax.scan(
-            level, init, jnp.arange(max_depth)
-        )
+        # --- staged wavefront with survivor compaction -------------------
+        # RR kills ~20-30% of photons per level, but a flat scan pays full
+        # width for all max_depth levels. Instead: run levels at the
+        # current width WHILE the survivor count exceeds the next
+        # (static) ladder width, then argsort-compact the alive lanes and
+        # continue narrower. Adaptive: survival-heavy (volumetric) scenes
+        # simply run more levels before each compaction. Deposits scatter
+        # into the capped buffers inside the level body (cursor carry),
+        # so compaction never touches them.
+        def deposit(buf, cursor, mask, rows, cap):
+            slot = cursor + jnp.cumsum(mask) - 1
+            idx = jnp.where(mask, jnp.minimum(slot, cap - 1), cap)
+            buf = buf.at[idx].set(rows.astype(jnp.float32), mode="drop")
+            return buf, cursor + jnp.sum(mask)
 
-        # flatten (depth, n) deposits and compact into capped buffers
-        def compact(mask, cap):
-            flat = mask.reshape(-1)
+        def level_deposit(state):
+            b, ray, lane_keys, power, alive, s_buf, s_cursor, v_buf, v_cursor = state
+            (new_ray, _, new_power, cont), (
+                s_mask, v_mask, dpos, ddir, dpow, dstart
+            ) = level((ray, lane_keys, power, alive), b)
             rows = jnp.stack(
-                [
-                    dpos.x.reshape(-1), dpos.y.reshape(-1), dpos.z.reshape(-1),
-                    ddir.x.reshape(-1), ddir.y.reshape(-1), ddir.z.reshape(-1),
-                    dpow.x.reshape(-1), dpow.y.reshape(-1), dpow.z.reshape(-1),
-                    dstart.x.reshape(-1), dstart.y.reshape(-1), dstart.z.reshape(-1),
-                ],
+                [dpos.x, dpos.y, dpos.z, ddir.x, ddir.y, ddir.z,
+                 dpow.x, dpow.y, dpow.z, dstart.x, dstart.y, dstart.z],
                 axis=1,
             )
-            slot = jnp.cumsum(flat) - 1
-            idx = jnp.where(flat, jnp.minimum(slot, cap - 1), cap)
-            buf = jnp.zeros((cap, PHOTON_ROW), jnp.float32)
-            buf = buf.at[idx].set(rows.astype(jnp.float32), mode="drop")
-            return buf, jnp.sum(flat)
+            s_buf, s_cursor = deposit(s_buf, s_cursor, s_mask, rows, s_cap)
+            v_buf, v_cursor = deposit(v_buf, v_cursor, v_mask, rows, v_cap)
+            return (b + 1, new_ray, lane_keys, new_power, cont,
+                    s_buf, s_cursor, v_buf, v_cursor)
 
-        s_buf, s_count = compact(s_mask, s_cap)
-        v_buf, v_count = compact(v_mask, v_cap)
+        s_buf0 = jnp.zeros((s_cap, PHOTON_ROW), jnp.float32)
+        v_buf0 = jnp.zeros((v_cap, PHOTON_ROW), jnp.float32)
+        state = (jnp.int32(0), Ray(pos, direction), keys, power,
+                 jnp.ones(n, bool), s_buf0, jnp.int32(0), v_buf0, jnp.int32(0))
+
+        widths = []
+        w = n
+        while w > 4096:
+            w = max(4096, w // 4)
+            widths.append(w)
+
+        for next_w in widths:
+            def cond(state, next_w=next_w):
+                return (state[0] < max_depth) & (jnp.sum(state[4]) > next_w)
+
+            state = jax.lax.while_loop(cond, level_deposit, state)
+            b, ray_s, lane_keys, power_s, alive, s_buf, s_cursor, v_buf, v_cursor = state
+            sel = jnp.argsort(~alive)[:next_w]
+            state = (
+                b,
+                Ray(take(ray_s.origin, sel), take(ray_s.dir, sel)),
+                jax.tree_util.tree_map(lambda a: a[sel], lane_keys),
+                take(power_s, sel),
+                alive[sel],
+                s_buf, s_cursor, v_buf, v_cursor,
+            )
+
+        def cond_last(state):
+            return (state[0] < max_depth) & jnp.any(state[4])
+
+        state = jax.lax.while_loop(cond_last, level_deposit, state)
+        _, _, _, _, _, s_buf, s_count, v_buf, v_count = state
         return s_buf, s_count, v_buf, v_count
 
     return _Launch(jax.jit(launch), n, s_cap, v_cap, raw=launch)
