@@ -32,11 +32,13 @@ from .bvh import FlatBVH
 
 import os
 
-# Fat-row slot count. 64 -> 2.5 KB rows (~50 ns/lane test, PERF.md); 32
-# -> 1.25 KB rows (~25 ns/lane) at the price of ~1 extra tree level of
-# node fetches. Overridable for sweeps; every consumer derives the slot
-# count from the static row shapes, so the value is build-time only.
-CLUSTER_TRIS = int(os.environ.get("RPT_TPU_CLUSTER_TRIS", "64"))
+# Fat-row slot count. 32 -> 1.25 KB rows halve the drain phase's fat-row
+# bandwidth vs 64 (2.5 KB) for ~1 extra tree level of node fetches —
+# measured net win on the dragon bounce wavefront with the two-phase
+# deferred traversal (164 vs 175 ms closest-hit, defer_time.py).
+# Overridable for sweeps; every consumer derives the slot count from the
+# static row shapes, so the value is build-time only.
+CLUSTER_TRIS = int(os.environ.get("RPT_TPU_CLUSTER_TRIS", "32"))
 CLUSTER_ROW = 10 * CLUSTER_TRIS  # v1/e1/e2 component blocks + id block
 C_PAD = 128  # cluster count padded for dense (tiles, C) math
 

@@ -4,40 +4,49 @@ Replaces the tri-level short-stack fallback (``intersect._traverse``) for
 big meshes. Rationale (measured, PERF.md "incoherent-wavefront wall"):
 
 * XLA's random row gather issues at ~90 Mrows/s for ANY row width up to
-  512 B, so traversal cost is the NUMBER of fetches, not bytes. The
-  tri-leaf tree fetches one 64 B node row + up to TWO 320 B leaf rows per
-  step at full wavefront width (682 ms bounce wavefront), and a binary
-  cluster tree still averages ~25 node visits per bounce ray (measured,
-  experiments/deferred_diag.py — fat cluster boxes prune weakly).
-* An 8-ary cluster tree (``accel.clusters.pack_wide_cluster_tree``)
-  collapses 3 binary levels into one 256 B row that costs the SAME to
-  fetch — cutting node fetches and the slow-lane tail ~2-3x.
+  512 B, so traversal cost is the NUMBER of fetches, not bytes. A wide
+  (8/16-ary) cluster tree collapses 3-4 binary levels into one 256-512 B
+  row that costs the SAME to fetch as a 64 B pair row.
+* Fat 64-tri cluster rows (1.25-2.5 KB) amortize the gather wall for the
+  actual triangle tests, but only when fetched by compacted batches of
+  lanes that NEED them.
 
-Design:
+Design (round 3 — DESCENT-FIRST two-phase; validated by
+experiments/descent_first_sim.py: +7% node visits, same 2.7 fat
+tests/ray, candidate-buffer occupancy p99 = 10 vs the interleaved
+schedule):
 
-1. **Descent bursts** walk the 8-ary tree. The cursor and every stack /
-   candidate entry is ONE packed int32 ``row_id << 8 | child_mask``, so
-   a step does exactly one 256 B gather, at most one one-hot stack push
-   (the non-nearest internal hits, as a mask), and at most one one-hot
-   candidate append (ALL leaf hits of the row, as a group). Leaf rows
-   are never fetched during descent.
-2. **Test bursts** drain the buffers: each round a pending lane re-derives
-   its nearest candidate group's child bounds (256 B refetch), tests the
-   nearest surviving cluster's fat 2.5 KB row densely, and clears that
-   child bit. Groups whose entry bound can no longer beat the lane's
-   best are dropped unexamined; any-hit lanes stop at the first hit.
+1. **Phase A — descent to completion.** Walk the wide tree with box-only
+   pruning, appending every leaf-hit row as ONE packed candidate group
+   ``row_id << W | child_mask``; no fat rows are read. Lanes that finish
+   (or fill their buffer — rare at 16 slots) drop out, and the whole
+   wavefront compacts down a width ladder as they do, so the lock-step
+   tail never pays full width.
+2. **Phase B — drain to fixpoint.** Each round a pending lane re-derives
+   its nearest group's child bounds (one wide-row refetch), tests the
+   nearest surviving cluster's fat row densely, clears that child bit,
+   and prunes every group whose entry bound can no longer beat its best.
+   Also ladder-compacted: round K runs only on lanes still holding
+   beatable candidates. Any-hit lanes stop at the first hit.
+3. **Cleanup.** Lanes that stalled on a full buffer (none on the dragon
+   wavefronts; possible in adversarial scenes) finish in a classic
+   alternating descend/drain fixpoint — a no-op when no lane stalled.
 
-Bursts alternate over compacted batches (masked gathers cost full width,
-so phases run on the first W pending-sorted lanes — adapting from the
-2%-pending post-tile finisher to fully-incoherent wavefronts). Exact:
-every reachable cluster is tested or provably pruned.
+The round-2 interleaved schedule (short descent bursts alternating with
+capped test bursts, tiered widths) paid per-phase fixed costs ~15x over:
+the measured ~0.43 ms fixed cost per traversal step and per test round
+is sequential-depth-bound, so the fewer, longer, compacted phases of the
+two-phase design dominate it. Exact: every reachable cluster is tested
+or provably pruned.
 
 Reference analog: the ordered kd descent with t-pruning
-(`/root/reference/src/kdtree.rs:154-226`); the wide-node deferral/burst
-structure is TPU-specific.
+(`/root/reference/src/kdtree.rs:154-226`); the wide-node deferral and
+two-phase schedule are TPU-specific.
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -48,18 +57,16 @@ from .ray import Ray
 from .tiled import _recover_hit, _tile_tri_test
 from .vec import Vec3
 
-# measured on the 262k-lane dragon bounce wavefront (experiments/
-# step_cost.py): a traversal step costs ~0.43 ms FIXED + ~2.6 ns/lane,
-# while a fat test round costs ~50 ns/lane — so descent phases run at
-# FULL wavefront width (in place, no state swap) and test bursts run on
-# narrow compacted batches of candidate-holding lanes
-import os
-
-CAND_SLOTS = int(os.environ.get("RPT_TPU_CAND_SLOTS", "6"))  # per-lane candidate buffer
-DESCENT_STEPS = int(os.environ.get("RPT_TPU_DESCENT_STEPS", "6"))  # steps per descent burst
-TEST_ROUNDS = int(os.environ.get("RPT_TPU_TEST_ROUNDS", "3"))  # fat rounds per test burst
-LADDER_DIV = 8  # stage compaction ratio once the pending tail fits
-TEST_DIV = 4  # test-batch width = stage width / TEST_DIV
+# Candidate-group buffer depth. Descent-first needs the buffer to hold a
+# whole traversal's groups: dragon bounce wavefront occupancy is mean
+# 2.2 / p99 10 / max 15 (descent_first_sim.py); overflow lanes stall and
+# finish in the cleanup fixpoint (correct, just slower).
+CAND_SLOTS = int(os.environ.get("RPT_TPU_CAND_SLOTS", "16"))
+# alternating-fallback burst lengths (small wavefronts + cleanup only)
+DESCENT_STEPS = int(os.environ.get("RPT_TPU_DESCENT_STEPS", "6"))
+TEST_ROUNDS = int(os.environ.get("RPT_TPU_TEST_ROUNDS", "3"))
+LADDER_DIV = int(os.environ.get("RPT_TPU_LADDER_DIV", "4"))  # stage compaction ratio
+MIN_STAGE = 4096  # narrowest ladder stage
 
 
 def _tree_wide(tree) -> int:
@@ -100,30 +107,48 @@ def _wide_row_test(tree, row_id, mask_bits, o3w, inv3w, t_min, cutoff, live):
     return enter, ptr, meta, hit, slot8
 
 
-def _descent_burst(tree, ray, inv_dir, t_min, limit_u, state, max_steps):
-    """Up to ``max_steps`` wide-node steps; lanes with full buffers or
-    finished descent idle. One <=512 B gather per step, no leaf reads."""
-    n = ray.origin.shape[0]
-    wide = _tree_wide(tree)
-    full = (1 << wide) - 1
-    depth = state[2].shape[1]
-    depth_iota = jax.lax.broadcasted_iota(jnp.int32, (n, depth), 1)
-    cslot_iota = jax.lax.broadcasted_iota(jnp.int32, (n, CAND_SLOTS), 1)
-    # slab blocks are [x*W][y*W][z*W] — build o3w/inv3w the same way
-    o3w = jnp.concatenate(
-        [jnp.repeat(ray.origin.to_array()[:, i : i + 1], wide, axis=1) for i in range(3)],
-        axis=1,
-    )
-    inv3w = jnp.concatenate(
-        [jnp.repeat(inv_dir.to_array()[:, i : i + 1], wide, axis=1) for i in range(3)],
+def _rep3(v: Vec3, wide: int):
+    """[x*W | y*W | z*W] slab blocks for a Vec3 of lanes."""
+    return jnp.concatenate(
+        [jnp.repeat(v.to_array()[:, i : i + 1], wide, axis=1) for i in range(3)],
         axis=1,
     )
 
-    def step(carry):
-        state, i = carry
+
+def _n_cand(state):
+    return jnp.sum(state[5] < INF, axis=1)
+
+
+def _descend_mask(state):
+    cur, _, _, _, _, cand_t, _, done = state
+    return (cur >= 0) & (_n_cand(state) < CAND_SLOTS) & ~done
+
+
+def _pending_mask(state, limit_u, any_hit: bool):
+    cur, _, _, best_u, _, cand_t, _, done = state
+    cutoff = jnp.minimum(best_u, limit_u)
+    pend = jnp.any(cand_t < cutoff[:, None], axis=1) & ~done
+    if any_hit:
+        pend &= ~(best_u < limit_u)
+    return pend
+
+
+def _make_descent_step(tree, ray, inv_dir, t_min, limit_u):
+    """One wide-node step for every can-descend lane: one <=512 B gather,
+    at most one one-hot stack push + one one-hot candidate append; leaf
+    rows are never fetched."""
+    n = ray.origin.shape[0]
+    wide = _tree_wide(tree)
+    full = (1 << wide) - 1
+    o3w = _rep3(ray.origin, wide)
+    inv3w = _rep3(inv_dir, wide)
+    cslot_iota = jax.lax.broadcasted_iota(jnp.int32, (n, CAND_SLOTS), 1)
+
+    def step(state):
         cur, sp, stack, best_u, pack, cand_t, cand_id, done = state
-        n_cand = jnp.sum(cand_t < INF, axis=1)
-        active = (cur >= 0) & (n_cand < CAND_SLOTS) & ~done
+        depth = stack.shape[1]
+        depth_iota = jax.lax.broadcasted_iota(jnp.int32, (n, depth), 1)
+        active = _descend_mask(state)
         row_id = cur >> wide
         mask = cur & full
         cutoff = jnp.minimum(best_u, limit_u)
@@ -132,11 +157,10 @@ def _descent_burst(tree, ray, inv_dir, t_min, limit_u, state, max_steps):
         )
 
         # ---- candidate group append (all leaf hits, one slot) ----------
-        # Append at the FIRST FREE slot, not at index n_cand: test-burst
-        # prune/drain INF-out slots mid-buffer, so finite entries need not
-        # form a prefix — appending at the count would overwrite a live
-        # group and silently drop its clusters. The active gate
-        # (n_cand < CAND_SLOTS) guarantees a free slot exists.
+        # Append at the FIRST FREE slot, not at the finite count: drains
+        # INF-out slots mid-buffer, so finite entries need not form a
+        # prefix. The active gate (n_cand < CAND_SLOTS) guarantees a free
+        # slot exists.
         leaf_hit = hit & (meta > 0)
         any_leaf = jnp.any(leaf_hit, axis=1)
         g_t = jnp.maximum(jnp.min(jnp.where(leaf_hit, enter, INF), axis=1), t_min)
@@ -174,40 +198,12 @@ def _descent_burst(tree, ray, inv_dir, t_min, limit_u, state, max_steps):
             ),
         )
         new_sp = jnp.where(do_pop, jnp.maximum(sp_after - 1, 0), sp_after)
-        return (new_cur, new_sp, stack, best_u, pack, cand_t, cand_id, done), i + 1
+        return (new_cur, new_sp, stack, best_u, pack, cand_t, cand_id, done)
 
-    def cond(carry):
-        state, i = carry
-        cur, _, _, _, _, cand_t, _, done = state
-        n_cand = jnp.sum(cand_t < INF, axis=1)
-        can = (cur >= 0) & (n_cand < CAND_SLOTS) & ~done
-        return jnp.any(can) & (i < max_steps)
-
-    (state, _) = jax.lax.while_loop(cond, step, (state, jnp.int32(0)))
-    return state
+    return step
 
 
-def _test_burst(ct: ClusterTables, ray, dn, inv_dir, t_min, limit_u, state,
-                any_hit: bool, rounds: int | None = None):
-    """Drain candidate-group buffers: per round each pending lane
-    re-derives its nearest group's child bounds, tests the nearest
-    surviving cluster's fat row, and clears that child bit."""
-    rounds = TEST_ROUNDS if rounds is None else rounds
-    n = ray.origin.shape[0]
-    wide = _tree_wide(ct.tree)
-    full = (1 << wide) - 1
-    o1 = Vec3(ray.origin.x[:, None], ray.origin.y[:, None], ray.origin.z[:, None])
-    d1 = Vec3(dn.x[:, None], dn.y[:, None], dn.z[:, None])
-    cslot_iota = jax.lax.broadcasted_iota(jnp.int32, (n, CAND_SLOTS), 1)
-    o3w = jnp.concatenate(
-        [jnp.repeat(ray.origin.to_array()[:, i : i + 1], wide, axis=1) for i in range(3)],
-        axis=1,
-    )
-    inv3w = jnp.concatenate(
-        [jnp.repeat(inv_dir.to_array()[:, i : i + 1], wide, axis=1) for i in range(3)],
-        axis=1,
-    )
-
+def _make_prune(limit_u, any_hit: bool):
     def prune(state):
         cur, sp, stack, best_u, pack, cand_t, cand_id, done = state
         cutoff = jnp.minimum(best_u, limit_u)
@@ -217,7 +213,25 @@ def _test_burst(ct: ClusterTables, ray, dn, inv_dir, t_min, limit_u, state,
         cand_t = jnp.where(keep, cand_t, INF)
         return (cur, sp, stack, best_u, pack, cand_t, cand_id, done)
 
-    def step(state):
+    return prune
+
+
+def _make_test_round(ct: ClusterTables, ray, dn, inv_dir, t_min, limit_u,
+                     any_hit: bool):
+    """One drain round: each pending lane re-derives its nearest group's
+    child bounds (wide-row refetch), tests the nearest surviving
+    cluster's fat row, and clears that child bit. Prunes first."""
+    n = ray.origin.shape[0]
+    wide = _tree_wide(ct.tree)
+    full = (1 << wide) - 1
+    o1 = Vec3(ray.origin.x[:, None], ray.origin.y[:, None], ray.origin.z[:, None])
+    d1 = Vec3(dn.x[:, None], dn.y[:, None], dn.z[:, None])
+    o3w = _rep3(ray.origin, wide)
+    inv3w = _rep3(inv_dir, wide)
+    cslot_iota = jax.lax.broadcasted_iota(jnp.int32, (n, CAND_SLOTS), 1)
+    prune = _make_prune(limit_u, any_hit)
+
+    def round_(state):
         state = prune(state)
         cur, sp, stack, best_u, pack, cand_t, cand_id, done = state
         sel_t = jnp.min(cand_t, axis=1)
@@ -258,26 +272,85 @@ def _test_burst(ct: ClusterTables, ray, dn, inv_dir, t_min, limit_u, state,
         cand_id = jnp.where(upd, new_id[:, None], cand_id)
         return (cur, sp, stack, best_u, pack, cand_t, cand_id, done)
 
+    return round_
+
+
+def _descent_burst(tree, ray, inv_dir, t_min, limit_u, state, max_steps):
+    """Alternating-fallback descent burst: up to ``max_steps`` steps."""
+    step = _make_descent_step(tree, ray, inv_dir, t_min, limit_u)
+
     def cond(carry):
         state, i = carry
-        cand_t = state[5]
-        best_u, done = state[3], state[7]
-        cutoff = jnp.minimum(best_u, limit_u)
-        pend = jnp.any(cand_t < cutoff[:, None], axis=1) & ~done
-        if any_hit:
-            pend &= ~(best_u < limit_u)
-        return jnp.any(pend) & (i < rounds)
+        return jnp.any(_descend_mask(state)) & (i < max_steps)
 
     state, _ = jax.lax.while_loop(
         cond, lambda c: (step(c[0]), c[1] + 1), (state, jnp.int32(0))
     )
-    return prune(state)
+    return state
+
+
+def _test_burst(ct: ClusterTables, ray, dn, inv_dir, t_min, limit_u, state,
+                any_hit: bool, rounds: int | None = None):
+    """Alternating-fallback drain burst: up to ``rounds`` rounds."""
+    rounds = TEST_ROUNDS if rounds is None else rounds
+    round_ = _make_test_round(ct, ray, dn, inv_dir, t_min, limit_u, any_hit)
+
+    def cond(carry):
+        state, i = carry
+        return jnp.any(_pending_mask(state, limit_u, any_hit)) & (i < rounds)
+
+    state, _ = jax.lax.while_loop(
+        cond, lambda c: (round_(c[0]), c[1] + 1), (state, jnp.int32(0))
+    )
+    return _make_prune(limit_u, any_hit)(state)
+
+
+def _run_ladder(state, uray, inv_dir, limit_u, mask_fn, make_runner):
+    """Generic width ladder: run ``runner`` (built per stage from the
+    stage's ray fields) until the active-lane count fits the next stage,
+    compact actives to that width, repeat. Writes each stage's state back
+    into the full arrays; returns the full-width state."""
+    n = state[0].shape[0]
+    sel_abs = None
+    sray, sinv, slim = uray, inv_dir, limit_u
+    st = state
+    full_state = state
+    w = n
+    while True:
+        next_w = max(MIN_STAGE, w // LADDER_DIV)
+        last = next_w >= w
+        thresh = 0 if last else next_w
+        runner = make_runner(sray, sinv, slim)
+
+        def cond(s, thresh=thresh, slim=slim):
+            return jnp.sum(mask_fn(s, slim)) > thresh
+
+        st = jax.lax.while_loop(cond, runner, st)
+        if sel_abs is None:
+            full_state = st
+        else:
+            full_state = tuple(
+                f.at[sel_abs].set(s) for f, s in zip(full_state, st)
+            )
+        if last:
+            break
+        prio = jnp.argsort(~mask_fn(st, slim))[:next_w]
+        sel_abs = prio if sel_abs is None else sel_abs[prio]
+        st = tuple(a[prio] for a in st)
+        sray = Ray(
+            Vec3(sray.origin.x[prio], sray.origin.y[prio], sray.origin.z[prio]),
+            Vec3(sray.dir.x[prio], sray.dir.y[prio], sray.dir.z[prio]),
+        )
+        sinv = Vec3(sinv.x[prio], sinv.y[prio], sinv.z[prio])
+        slim = slim[prio]
+        w = next_w
+    return full_state
 
 
 def deferred_traverse(ct: ClusterTables, ray: Ray, t_min, limit, best_time,
                       any_hit: bool, active=None):
     """Exact closest-hit / any-hit over the fat-cluster tables via the
-    8-ary cluster tree. Returns (time, tri, u, v, w) in the caller's raw
+    wide cluster tree. Returns (time, tri, u, v, w) in the caller's raw
     parametrization; lanes outside ``active`` (or that can't improve)
     return their input ``best_time`` untouched."""
     n = ray.origin.shape[0]
@@ -309,133 +382,84 @@ def deferred_traverse(ct: ClusterTables, ray: Ray, t_min, limit, best_time,
         ~active,                                          # done
     )
 
-    def phase(state, uray, inv_dir, limit_u):
-        state = _descent_burst(
-            ct.tree, uray, inv_dir, t_min, limit_u, state, DESCENT_STEPS
-        )
-        state = _test_burst(
-            ct, uray, uray.dir, inv_dir, t_min, limit_u, state, any_hit
-        )
-        # a lane is finished when descent is done and its buffer drained
+    def finish(state, limit_u):
         cur, sp, stack, best_u, pack, cand_t, cand_id, done = state
         done = done | ((cur < 0) & ~jnp.any(cand_t < INF, axis=1))
         if any_hit:
             done = done | (best_u < limit_u)
         return (cur, sp, stack, best_u, pack, cand_t, cand_id, done)
 
-    def pending(state):
+    def alternating_phase(state, uray=uray, inv_dir=inv_dir, limit_u=limit_u):
+        state = _descent_burst(
+            ct.tree, uray, inv_dir, t_min, limit_u, state, DESCENT_STEPS
+        )
+        state = _test_burst(
+            ct, uray, uray.dir, inv_dir, t_min, limit_u, state, any_hit
+        )
+        return finish(state, limit_u)
+
+    def pending_any(state):
         return jnp.any(~state[7])
 
-    # every phase makes progress on some pending lane (a lane either
-    # descends >= 1 node step or drains >= 1 candidate; lanes with the
-    # fullest buffers are tested first), so the fixpoint loops below
-    # terminate without caps
-    if n < 4096:
-        state = jax.lax.while_loop(
-            pending, lambda s: phase(s, uray, inv_dir, limit_u), state
-        )
+    if n < MIN_STAGE:
+        # small wavefronts: classic alternating fixpoint (every phase
+        # makes progress on some pending lane, so it terminates)
+        state = jax.lax.while_loop(pending_any, alternating_phase, state)
         best_u, pack = state[3], state[4]
     else:
-        # ASYMMETRIC phase widths (measured, experiments/step_cost.py):
-        # a descent step costs ~0.43 ms FIXED + only ~2.6 ns/lane, so
-        # descent runs on the WHOLE wavefront in place — no per-phase
-        # state swap, no round-robin sweep; a fat test round costs
-        # ~50 ns/lane (2.5 KB row, bandwidth-bound), so tests run on a
-        # NARROW compacted batch of candidate-holding lanes (fullest
-        # buffers first, relieving descent stalls). Once the pending
-        # tail fits, the whole problem compacts to a narrower stage so
-        # the tail stops paying full-width marginal costs.
-        best_full = best_u0
-        pack_full = jnp.full(n, -1, jnp.int32)
-        idx = None  # stage lanes -> original lanes (None = identity)
-        w = n
-        sray, sinv, slim = uray, inv_dir, limit_u
+        # --- Phase A: descent to completion (box-only pruning) ----------
+        def make_descender(sray, sinv, slim):
+            return _make_descent_step(ct.tree, sray, sinv, t_min, slim)
 
-        while True:
-            next_w = max(4096, w // LADDER_DIV)
-            last = next_w >= w
-            thresh = 0 if last else next_w
-            wide_w = max(2048, min(w, w // TEST_DIV))
-            narrow_w = max(2048, min(w, w // (TEST_DIV * 4)))
+        state = _run_ladder(
+            state, uray, inv_dir, limit_u,
+            lambda s, lim: _descend_mask(s), make_descender,
+        )
 
-            def make_test(test_w, rounds, sray=sray, sinv=sinv, slim=slim):
-                def run(state):
-                    n_cand = jnp.sum(state[5] < INF, axis=1)
-                    prio = jnp.where(
-                        ~state[7] & (n_cand > 0), -n_cand, jnp.int32(1)
-                    )
-                    sel = jnp.argsort(prio)[:test_w]
-                    sub = tuple(a[sel] for a in state)
-                    sub_ray = Ray(
-                        Vec3(sray.origin.x[sel], sray.origin.y[sel],
-                             sray.origin.z[sel]),
-                        Vec3(sray.dir.x[sel], sray.dir.y[sel], sray.dir.z[sel]),
-                    )
-                    sub_inv = Vec3(sinv.x[sel], sinv.y[sel], sinv.z[sel])
-                    sub = _test_burst(
-                        ct, sub_ray, sub_ray.dir, sub_inv, t_min, slim[sel],
-                        sub, any_hit, rounds=rounds,
-                    )
-                    return tuple(a.at[sel].set(b) for a, b in zip(state, sub))
-
-                return run
-
-            def stage_phase(c, sray=sray, sinv=sinv, slim=slim,
-                            wide_w=wide_w, narrow_w=narrow_w):
-                state = c
-                state = _descent_burst(
-                    ct.tree, sray, sinv, t_min, slim, state, DESCENT_STEPS
-                )
-                # tiered test width: a static batch sized for the busy
-                # early phases wastes ~3x fat-row bandwidth in the tail
-                # (PERF.md), so pick the tier by the live tester count
-                # (lax.cond executes only the chosen branch)
-                if narrow_w >= wide_w:
-                    state = make_test(wide_w, TEST_ROUNDS)(state)
-                else:
-                    testers = jnp.sum(
-                        ~state[7] & jnp.any(state[5] < INF, axis=1)
-                    )
-                    state = jax.lax.cond(
-                        testers > narrow_w,
-                        make_test(wide_w, TEST_ROUNDS),
-                        make_test(narrow_w, TEST_ROUNDS * 4),
-                        state,
-                    )
-                cur, sp, stack, best_u, pack, cand_t, cand_id, done = state
-                done = done | ((cur < 0) & ~jnp.any(cand_t < INF, axis=1))
-                if any_hit:
-                    done = done | (best_u < slim)
-                return (cur, sp, stack, best_u, pack, cand_t, cand_id, done)
-
-            def stage_cond(state, thresh=thresh):
-                return jnp.sum(~state[7]) > thresh
-
-            state = jax.lax.while_loop(stage_cond, stage_phase, state)
-
-            # record this stage's results for every lane it owned
-            if idx is None:
-                best_full, pack_full = state[3], state[4]
-            else:
-                best_full = best_full.at[idx].set(state[3])
-                pack_full = pack_full.at[idx].set(state[4])
-            if last:
-                break
-
-            # compact the (<= next_w) pending lanes into the next stage
-            order = jnp.argsort(state[7])
-            sel = order[:next_w]
-            idx = sel if idx is None else idx[sel]
-            state = tuple(a[sel] for a in state)
-            sray = Ray(
-                Vec3(sray.origin.x[sel], sray.origin.y[sel], sray.origin.z[sel]),
-                Vec3(sray.dir.x[sel], sray.dir.y[sel], sray.dir.z[sel]),
+        # --- Phase B: drain to fixpoint (ordered, best-pruned) ----------
+        def make_drainer(sray, sinv, slim):
+            return _make_test_round(
+                ct, sray, sray.dir, sinv, t_min, slim, any_hit
             )
-            sinv = Vec3(sinv.x[sel], sinv.y[sel], sinv.z[sel])
-            slim = slim[sel]
-            w = next_w
 
-        best_u, pack = best_full, pack_full
+        state = _run_ladder(
+            state, uray, inv_dir, limit_u,
+            lambda s, lim: _pending_mask(s, lim, any_hit), make_drainer,
+        )
+        # unbeatable leftovers stay finite in cand_t; prune before the
+        # done check so the cleanup fixpoint is a true no-op
+        state = _make_prune(limit_u, any_hit)(state)
+        state = finish(state, limit_u)
+
+        # --- Cleanup: rare buffer-overflow stalls (usually a no-op) -----
+        # A few hundred lanes stall per dragon wavefront; running the
+        # alternating fixpoint at full width cost ~90 ms (measured,
+        # two_phase_split.py) — compact the not-done lanes to MIN_STAGE
+        # per cycle instead.
+        def cleanup_body(state):
+            sel = jnp.argsort(state[7])[:MIN_STAGE]  # not-done lanes first
+            sub = tuple(a[sel] for a in state)
+            sub_ray = Ray(
+                Vec3(uray.origin.x[sel], uray.origin.y[sel], uray.origin.z[sel]),
+                Vec3(uray.dir.x[sel], uray.dir.y[sel], uray.dir.z[sel]),
+            )
+            sub_inv = Vec3(inv_dir.x[sel], inv_dir.y[sel], inv_dir.z[sel])
+            sub_lim = limit_u[sel]
+            sub = _descent_burst(
+                ct.tree, sub_ray, sub_inv, t_min, sub_lim, sub, DESCENT_STEPS
+            )
+            sub = _test_burst(
+                ct, sub_ray, sub_ray.dir, sub_inv, t_min, sub_lim, sub, any_hit
+            )
+            cur, sp, stack, best_u, pack, cand_t, cand_id, done = sub
+            done = done | ((cur < 0) & ~jnp.any(cand_t < INF, axis=1))
+            if any_hit:
+                done = done | (best_u < sub_lim)
+            sub = (cur, sp, stack, best_u, pack, cand_t, cand_id, done)
+            return tuple(a.at[sel].set(b) for a, b in zip(state, sub))
+
+        state = jax.lax.while_loop(pending_any, cleanup_body, state)
+        best_u, pack = state[3], state[4]
     if any_hit:
         tri = jnp.where(pack >= 0, 0, -1)
         u = v = w = jnp.zeros((n,), DTYPE)
