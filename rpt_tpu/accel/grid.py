@@ -132,25 +132,39 @@ def build_photon_grid(positions: np.ndarray, k: int, cap: int = 24,
         sample_queries = positions[:: max(1, n // 512)][:512]
     sq = np.asarray(sample_queries, np.float64)
 
+    # Calibration loops bin a SUBSAMPLE of the cloud (counts rescaled):
+    # only the h search uses it, so the choice is statistically identical
+    # for the 99th-percentile stats it reads, and the full-cloud passes
+    # drop from ~2x24 to 2 (multi-second savings on multi-M-photon maps).
+    # All correctness-relevant quantities (window caps, coverage, sort)
+    # are computed from the FULL grid at the chosen h below.
+    CAL_MAX = 200_000
+    if n > CAL_MAX:
+        calib = positions[:: n // CAL_MAX][:CAL_MAX]
+        cal_scale = n / len(calib)
+    else:
+        calib = positions
+        cal_scale = 1.0
+
     # ---- fine grid: bound the dense bulk's 27-cell window --------------
     h = max((vol * 2.5 * k / (27.0 * n)) ** (1.0 / 3.0), 1e-9)
-    fine = None
     for _ in range(24):
-        h_eff, dims, inv_h, cell_id, counts = _grid_for(positions, lo, span, h)
+        h_eff, dims, inv_h, _, counts_s = _grid_for(calib, lo, span, h)
         qc = _cell_coords(sq, lo, inv_h, dims)
-        totals = _box_totals(qc, counts, dims, 1)
+        totals = _box_totals(qc, counts_s, dims, 1) * cal_scale
         p99 = np.percentile(totals, 99.0) if totals.size else 0
-        fine = (h_eff, dims, inv_h, cell_id, counts, totals)
         if p99 > FINE_WINDOW and np.min(dims) < 512 and h_eff == h:
             h = h_eff / 1.35
             continue
         if p99 <= FINE_WINDOW // 4 and float(np.mean(totals < k_eff)) > 0.5:
             h = h_eff * 1.35
             continue
+        h = h_eff
         break
-    h, dims, inv_h, cell_id, counts, totals = fine
-    total_cap = _window(totals, k, n, 1024)
+    h, dims, inv_h, cell_id, counts = _grid_for(positions, lo, span, h)
     qc = _cell_coords(sq, lo, inv_h, dims)
+    totals = _box_totals(qc, counts, dims, 1)
+    total_cap = _window(totals, k, n, 1024)
     totals5 = _box_totals(qc, counts, dims, 2)
     total_cap2 = _window(totals5, k, n, 2048)
 
@@ -161,19 +175,19 @@ def build_photon_grid(positions: np.ndarray, k: int, cap: int = 24,
     # the flagged set (the coarse window must be sized for ALL of them)
     flagged = totals5 < 4 * k_eff
     h2 = h * 2.0
-    trunc = 0.0
     for _ in range(24):
-        h2_eff, dims2, inv_h2, cell_id2, counts2 = _grid_for(
-            positions, lo, span, h2
-        )
+        h2_eff, dims2, inv_h2, _, counts2_s = _grid_for(calib, lo, span, h2)
         qc2 = _cell_coords(sq, lo, inv_h2, dims2)
-        t2 = _box_totals(qc2, counts2, dims2, 1)
+        t2 = _box_totals(qc2, counts2_s, dims2, 1) * cal_scale
         trunc = float(np.mean(t2 < k_eff))
-        coarse = (h2_eff, dims2, inv_h2, cell_id2, t2)
         if trunc <= 0.005 or np.max(dims2) <= 2:
+            h2 = h2_eff
             break
         h2 = h2_eff * 1.5
-    h2, dims2, inv_h2, cell_id2, t2 = coarse
+    h2, dims2, inv_h2, cell_id2, counts2 = _grid_for(positions, lo, span, h2)
+    qc2 = _cell_coords(sq, lo, inv_h2, dims2)
+    t2 = _box_totals(qc2, counts2, dims2, 1)
+    trunc = float(np.mean(t2 < k_eff))
     # window from the plausibly-flagged samples (the only coarse users)
     t2f = t2[flagged] if flagged.any() else t2
     total_cap3 = _window(t2f, k, n, 2048)

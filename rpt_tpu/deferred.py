@@ -67,6 +67,12 @@ DESCENT_STEPS = int(os.environ.get("RPT_TPU_DESCENT_STEPS", "6"))
 TEST_ROUNDS = int(os.environ.get("RPT_TPU_TEST_ROUNDS", "3"))
 LADDER_DIV = int(os.environ.get("RPT_TPU_LADDER_DIV", "4"))  # stage compaction ratio
 MIN_STAGE = 4096  # narrowest ladder stage
+# Narrow ladder stages are SEQUENTIAL-fixed-cost bound (~0.4 ms per
+# while_loop iteration regardless of width <= ~32k, PERF.md): running K
+# steps per iteration cuts the boundary count K-fold. Steps are no-ops
+# for finished lanes, so overshoot only costs (K-1) wasted cheap steps.
+UNROLL_WIDTH = int(os.environ.get("RPT_TPU_UNROLL_WIDTH", "32768"))
+UNROLL_K = int(os.environ.get("RPT_TPU_UNROLL_K", "4"))
 
 
 def _tree_wide(tree) -> int:
@@ -320,7 +326,13 @@ def _run_ladder(state, uray, inv_dir, limit_u, mask_fn, make_runner):
         next_w = max(MIN_STAGE, w // LADDER_DIV)
         last = next_w >= w
         thresh = 0 if last else next_w
-        runner = make_runner(sray, sinv, slim)
+        step1 = make_runner(sray, sinv, slim)
+        k = UNROLL_K if w <= UNROLL_WIDTH else 1
+
+        def runner(s, step1=step1, k=k):
+            for _ in range(k):
+                s = step1(s)
+            return s
 
         def cond(s, thresh=thresh, slim=slim):
             return jnp.sum(mask_fn(s, slim)) > thresh

@@ -31,6 +31,8 @@ geometry, and is robust in f32.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -44,6 +46,12 @@ from ..vec import Vec3, where
 FIREFLY_CLAMP = 100.0  # renderer.rs:18
 BACKGROUND_DIST = 400.0  # renderer.rs:199
 RR_P = 0.8  # renderer.rs:193
+# Concatenate all lights' shadow rays into one occlusion wavefront?
+# Measured NET-NEGATIVE on the dragon bench (1.70 -> 1.61 Mrays/s): the
+# pooled ladder/fixed-cost savings do not pay for doubling the
+# full-width bulk of the tiled sort + deferred stages. Kept as an
+# opt-in for narrow wavefronts where fixed costs dominate.
+SHADOW_BATCH = os.environ.get("RPT_TPU_SHADOW_BATCH", "0") == "1"
 
 
 def _sanitize(pos: Vec3, mask) -> Vec3:
@@ -67,27 +75,34 @@ def _dead_ray_fields(n):
 
 
 def sample_lights(scene, tables, mat, pos: Vec3, n: Vec3, wo: Vec3, keys,
-                  mask=None) -> Vec3:
+                  mask=None, coherent: bool = True) -> Vec3:
     """renderer.rs:362-409 — NEE for a surface point. ``mask`` marks lanes
-    whose result is consumed; shadow queries are disabled on the rest."""
+    whose result is consumed; shadow queries are disabled on the rest.
+    All lights' shadow rays run as ONE batched occlusion query (shared
+    traversal fixed costs + pooled ladder compaction); the RNG stream is
+    per-light as before."""
     from ..lights import illuminate
 
     color = Vec3.zeros(jnp.shape(pos.x))
+    pending = []  # (wi, contrib, dist) per non-ambient light
     for li, (lstat, ltab) in enumerate(zip(scene.lights, tables["lights"])):
         if lstat.kind == "ambient":
             color = color + ltab["color"].broadcast_to(pos.shape) * mat.color_query()
             continue
         lkeys = sampling.fold(keys, 0x1100 + li)
         intensity, wi, dist = illuminate(lstat, ltab, pos, lkeys)
-        visible = _shadow_visible(scene, tables, pos, wi, dist, mask)
         f = bsdf(mat, n, wo, wi)
-        contrib = f * intensity * wi.dot(n)
+        pending.append((wi, f * intensity * wi.dot(n), dist))
+    for visible, (_, contrib, _) in zip(
+        _shadow_visible_batch(scene, tables, pos, pending, mask, coherent),
+        pending,
+    ):
         color = color + where(visible, contrib, Vec3.zeros(jnp.shape(pos.x)))
     return color
 
 
 def sample_lights_for_media(scene, tables, medium, pos: Vec3, wo: Vec3, keys,
-                            mask=None) -> Vec3:
+                            mask=None, coherent: bool = True) -> Vec3:
     """renderer.rs:325-359 — NEE for a medium scattering point."""
     from ..lights import illuminate
 
@@ -95,20 +110,25 @@ def sample_lights_for_media(scene, tables, medium, pos: Vec3, wo: Vec3, keys,
     ext = medium.extinction(pos)
     medium_color = medium.color(pos)
     color = Vec3.zeros(jnp.shape(pos.x))
+    pending = []
     for li, (lstat, ltab) in enumerate(zip(scene.lights, tables["lights"])):
         if lstat.kind == "ambient":
             color = color + ltab["color"].broadcast_to(pos.shape) * medium_color
             continue
         lkeys = sampling.fold(keys, 0x1100 + li)
         intensity, wi, dist = illuminate(lstat, ltab, pos, lkeys)
-        visible = _shadow_visible(scene, tables, pos, wi, dist, mask)
         ph = medium.phase(wo, wi)
-        contrib = intensity * medium_color * ((scat / ext) * ph)
+        pending.append((wi, intensity * medium_color * ((scat / ext) * ph), dist))
+    for visible, (_, contrib, _) in zip(
+        _shadow_visible_batch(scene, tables, pos, pending, mask, coherent),
+        pending,
+    ):
         color = color + where(visible, contrib, Vec3.zeros(jnp.shape(pos.x)))
     return color
 
 
-def _shadow_visible(scene, tables, pos: Vec3, wi: Vec3, dist, mask=None):
+def _shadow_visible(scene, tables, pos: Vec3, wi: Vec3, dist, mask=None,
+                    coherent: bool = True):
     """True where no occluder lies strictly between ``pos`` and the light.
     Lanes with ``mask`` False get limit -1: every traversal path rejects
     them in O(1) (their visibility result is discarded by the caller).
@@ -126,7 +146,41 @@ def _shadow_visible(scene, tables, pos: Vec3, wi: Vec3, dist, mask=None):
     limit = dist * (1.0 - scene.shadow_eps)
     if mask is not None:
         limit = jnp.where(mask, limit, -1.0)
-    return ~occluded(scene, tables, Ray(pos, wi), limit)
+    return ~occluded(scene, tables, Ray(pos, wi), limit, coherent=coherent)
+
+
+def _shadow_visible_batch(scene, tables, pos: Vec3, pending, mask,
+                          coherent: bool):
+    """Visibility for every light's shadow ray from the same surface
+    points, CONCATENATED into one occlusion wavefront: per-light passes
+    each paid the traversal's sequential fixed costs (~0.4 ms x dozens of
+    rounds) and compacted their survivor ladders separately; one n*L-lane
+    query shares both (experiments/shadow_components.py). Falls back to
+    per-light queries for the exact-NEE parity mode."""
+    if not pending:
+        return []
+    if not SHADOW_BATCH or scene.nee_mode == "exact" or len(pending) == 1:
+        return [
+            _shadow_visible(scene, tables, pos, wi, dist, mask, coherent)
+            for wi, _, dist in pending
+        ]
+    n = jnp.shape(pos.x)[0]
+    L = len(pending)
+
+    def cat(parts):
+        return jnp.concatenate(parts)
+
+    bpos = Vec3(*(cat([getattr(pos, c)] * L) for c in "xyz"))
+    bwi = Vec3(*(cat([getattr(wi, c) for wi, _, _ in pending]) for c in "xyz"))
+    limits = []
+    for _, _, dist in pending:
+        limit = dist * (1.0 - scene.shadow_eps)
+        if mask is not None:
+            limit = jnp.where(mask, limit, -1.0)
+        limits.append(limit)
+    occ = occluded(scene, tables, Ray(bpos, bwi), cat(limits),
+                   coherent=coherent)
+    return [~occ[i * n : (i + 1) * n] for i in range(L)]
 
 
 # ---------------------------------------------------------------------------
@@ -164,7 +218,8 @@ def trace_surface(scene, tables, ray: Ray, keys, max_bounces: int,
         else:
             emit = zero
         nee = sample_lights(scene, tables, mat, pos, hit.normal, wo,
-                            sampling.fold(kb, 2), mask=hitmask)
+                            sampling.fold(kb, 2), mask=hitmask,
+                            coherent=coherent)
         env = scene.env_color(tables, ray.dir)
         contrib = emit + where(hitmask, nee, zero) + where(missmask, env, zero)
 

@@ -487,9 +487,12 @@ def surface_estimate(scene, tables, pmap: PhotonMapData, ray: Ray, hit, keys,
             disp = pos_f - p_pos
             dist = disp.length()
             sray = Ray(p_pos, disp / jnp.maximum(dist, 1e-20))
-            # dead lanes get limit -1: every traversal rejects in O(1)
+            # dead lanes get limit -1: every traversal rejects in O(1).
+            # photon->gather-point rays have scattered origins: the tile
+            # pass certifies ~0% on such wavefronts (shadow_components),
+            # so skip it (coherent=False)
             limit = jnp.where(ok, dist * (1.0 - scene.shadow_eps), -1.0)
-            ok &= ~occluded(scene, tables, sray, limit)
+            ok &= ~occluded(scene, tables, sray, limit, coherent=False)
         f = bsdf(mat_f, normal_f, wo_f, p_dir)
         contrib = f * p_pow * jnp.clip(p_dir.dot(normal_f), 0.0, 1.0)
         c = where(ok, contrib, Vec3.zeros(nm)).to_array()

@@ -687,39 +687,57 @@ def bvh_closest_hit(bvh: BVHTables, ray: Ray, t_min, best: Hit,
     return _finish_hit(bvh, best, time, tri, u, v, w)
 
 
-def bvh_any_hit(bvh: BVHTables, ray: Ray, t_min, limit, clusters=None) -> jax.Array:
+def bvh_any_hit(bvh: BVHTables, ray: Ray, t_min, limit, clusters=None,
+                coherent: bool = True, skip=None) -> jax.Array:
     """True where some triangle lies at t in [t_min, limit) — early-exit
-    occlusion query for shadow rays."""
+    occlusion query for shadow rays.
+
+    ``coherent`` is the caller's STATIC hint: camera-level (L0) shadow
+    wavefronts tile well after the coherence sort (79-96% certified,
+    experiments/shadow_components.py), but bounce-level shadow origins
+    are scattered and certify 0% — for those the tile pass burned
+    ~50-60 ms for nothing, so incoherent wavefronts go straight to the
+    deferred traversal. ``skip`` marks lanes already known occluded
+    (e.g. by an analytic prim); they are excluded from traversal."""
     n = ray.origin.shape[0] if ray.origin.shape else ()
     if bvh.leaves.shape[0] <= DENSE_TRI_ROWS:
         h = dense_tri_hit(bvh, ray, t_min, Hit.none(ray.origin.shape))
         return h.time < limit
     if clusters is not None and n and n >= TILED_MIN_RAYS:
         from .deferred import deferred_traverse
-        from .tiled import coherence_key, tiled_traverse
 
         limit_arr = jnp.broadcast_to(limit, (n,)).astype(DTYPE)
-        # occlusion wavefronts arrive in pixel order, but their ORIGINS
-        # (bounce hit points) are scattered — argsort into coherent tiles
-        # first (origin Morton + direction octant; shadow directions
-        # converge on one light, so sorted tiles get tight beams)
         live = limit_arr > t_min
-        key = jnp.where(
-            live, coherence_key(ray.origin, ray.dir, mask=live),
-            jnp.int32(0x7FFFFFFF),
-        )
-        order = jnp.argsort(key)
-        s_ray = Ray(take(ray.origin, order), take(ray.dir, order))
-        s_limit = limit_arr[order]
-        time_s, _, _, _, _, cert_s = tiled_traverse(
-            clusters, s_ray, t_min, s_limit, jnp.full(n, INF, DTYPE),
-            any_hit=True,
-        )
-        occ = jnp.zeros(n, bool).at[order].set(time_s < s_limit)
-        cert = jnp.zeros(n, bool).at[order].set(cert_s)
+        if skip is not None:
+            live = live & ~skip
+        if coherent:
+            from .tiled import coherence_key, tiled_traverse
+
+            # occlusion wavefronts arrive in pixel order, but their
+            # ORIGINS (hit points) are scattered — argsort into coherent
+            # tiles first (origin Morton + direction octant; shadow
+            # directions converge on one light, so sorted tiles get
+            # tight beams)
+            key = jnp.where(
+                live, coherence_key(ray.origin, ray.dir, mask=live),
+                jnp.int32(0x7FFFFFFF),
+            )
+            order = jnp.argsort(key)
+            s_ray = Ray(take(ray.origin, order), take(ray.dir, order))
+            s_limit = jnp.where(live, limit_arr, -1.0)[order]
+            time_s, _, _, _, _, cert_s = tiled_traverse(
+                clusters, s_ray, t_min, s_limit, jnp.full(n, INF, DTYPE),
+                any_hit=True,
+            )
+            occ = jnp.zeros(n, bool).at[order].set(time_s < s_limit)
+            cert = jnp.zeros(n, bool).at[order].set(cert_s)
+            active = live & ~cert & ~occ
+        else:
+            occ = jnp.zeros(n, bool)
+            active = live
         t2, _, _, _, _ = deferred_traverse(
             clusters, ray, t_min, limit_arr, jnp.full(n, INF, DTYPE),
-            any_hit=True, active=~cert & ~occ,
+            any_hit=True, active=active,
         )
         return occ | (t2 < limit_arr)
     time, _, _, _, _ = _traverse(
@@ -760,10 +778,13 @@ def closest_hit(scene, tables, ray: Ray, t_min=None, coherent: bool = True) -> H
     return best
 
 
-def occluded(scene, tables, ray: Ray, limit, t_min=None) -> jax.Array:
+def occluded(scene, tables, ray: Ray, limit, t_min=None,
+             coherent: bool = True) -> jax.Array:
     """True where any geometry lies at t in [t_min, limit) along the ray —
     the shadow query. Analytic prims reuse the closest-hit testers (cheap);
-    the triangle BVH uses the early-exit any-hit traversal."""
+    the triangle BVH uses the early-exit any-hit traversal. ``coherent``
+    is a static hint (see ``bvh_any_hit``); lanes a prim already occludes
+    skip the BVH."""
     if t_min is None:
         t_min = scene.t_min
     best = Hit.none(ray.origin.shape)
@@ -778,6 +799,7 @@ def occluded(scene, tables, ray: Ray, limit, t_min=None) -> jax.Array:
     occ = best.time < limit
     if scene.n_tris:
         occ = occ | bvh_any_hit(
-            tables["bvh"], ray, t_min, limit, clusters=tables.get("clusters")
+            tables["bvh"], ray, t_min, limit, clusters=tables.get("clusters"),
+            coherent=coherent, skip=occ,
         )
     return occ
