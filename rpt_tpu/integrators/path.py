@@ -101,6 +101,15 @@ def sample_lights(scene, tables, mat, pos: Vec3, n: Vec3, wo: Vec3, keys,
     return color
 
 
+def _nonzero_contrib(contrib: Vec3):
+    """Shadow lanes whose NEE contribution is already zero (light below
+    the horizon, black BSDF lobe, backfacing area-light sample) have a
+    visibility result that is multiplied by zero — skip their occlusion
+    traversal entirely. Pure cost optimization: where(visible, 0, 0) == 0
+    either way, so the radiance estimate is bit-identical."""
+    return (contrib.x != 0.0) | (contrib.y != 0.0) | (contrib.z != 0.0)
+
+
 def sample_lights_for_media(scene, tables, medium, pos: Vec3, wo: Vec3, keys,
                             mask=None, coherent: bool = True) -> Vec3:
     """renderer.rs:325-359 — NEE for a medium scattering point."""
@@ -159,10 +168,20 @@ def _shadow_visible_batch(scene, tables, pos: Vec3, pending, mask,
     per-light queries for the exact-NEE parity mode."""
     if not pending:
         return []
-    if not SHADOW_BATCH or scene.nee_mode == "exact" or len(pending) == 1:
+    if scene.nee_mode == "exact":
         return [
             _shadow_visible(scene, tables, pos, wi, dist, mask, coherent)
             for wi, _, dist in pending
+        ]
+    if not SHADOW_BATCH or len(pending) == 1:
+        return [
+            _shadow_visible(
+                scene, tables, pos, wi, dist,
+                _nonzero_contrib(contrib) if mask is None
+                else mask & _nonzero_contrib(contrib),
+                coherent,
+            )
+            for wi, contrib, dist in pending
         ]
     n = jnp.shape(pos.x)[0]
     L = len(pending)
@@ -173,11 +192,11 @@ def _shadow_visible_batch(scene, tables, pos: Vec3, pending, mask,
     bpos = Vec3(*(cat([getattr(pos, c)] * L) for c in "xyz"))
     bwi = Vec3(*(cat([getattr(wi, c) for wi, _, _ in pending]) for c in "xyz"))
     limits = []
-    for _, _, dist in pending:
-        limit = dist * (1.0 - scene.shadow_eps)
+    for _, contrib, dist in pending:
+        lmask = _nonzero_contrib(contrib)
         if mask is not None:
-            limit = jnp.where(mask, limit, -1.0)
-        limits.append(limit)
+            lmask &= mask
+        limits.append(jnp.where(lmask, dist * (1.0 - scene.shadow_eps), -1.0))
     occ = occluded(scene, tables, Ray(bpos, bwi), cat(limits),
                    coherent=coherent)
     return [~occ[i * n : (i + 1) * n] for i in range(L)]
