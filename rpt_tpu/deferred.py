@@ -311,16 +311,63 @@ def _test_burst(ct: ClusterTables, ray, dn, inv_dir, t_min, limit_u, state,
     return _make_prune(limit_u, any_hit)(state)
 
 
+def _pack_blocks(state, uray, inv_dir, limit_u):
+    """Pack the 8-tuple state + ray fields + limit into ONE f32 and ONE
+    i32 matrix. Rung-boundary compaction then costs 2 gathers + 2
+    scatters total, instead of ~20 separate ops — the per-op FIXED cost
+    (not bytes) dominated the ladder machinery (measured ~62 ms per
+    traversal with ZERO active lanes, experiments/ladder_overhead.py)."""
+    cur, sp, stack, best_u, pack, cand_t, cand_id, done = state
+    fblk = jnp.concatenate(
+        [
+            best_u[:, None], cand_t,
+            uray.origin.x[:, None], uray.origin.y[:, None],
+            uray.origin.z[:, None],
+            uray.dir.x[:, None], uray.dir.y[:, None], uray.dir.z[:, None],
+            inv_dir.x[:, None], inv_dir.y[:, None], inv_dir.z[:, None],
+            limit_u[:, None],
+        ],
+        axis=1,
+    )
+    iblk = jnp.concatenate(
+        [
+            cur[:, None], sp[:, None], pack[:, None],
+            done[:, None].astype(jnp.int32), stack, cand_id,
+        ],
+        axis=1,
+    )
+    return fblk, iblk
+
+
+def _unpack_blocks(fblk, iblk, depth):
+    cs = CAND_SLOTS
+    best_u = fblk[:, 0]
+    cand_t = fblk[:, 1 : 1 + cs]
+    o = Vec3(fblk[:, 1 + cs], fblk[:, 2 + cs], fblk[:, 3 + cs])
+    d = Vec3(fblk[:, 4 + cs], fblk[:, 5 + cs], fblk[:, 6 + cs])
+    inv = Vec3(fblk[:, 7 + cs], fblk[:, 8 + cs], fblk[:, 9 + cs])
+    limit_u = fblk[:, 10 + cs]
+    cur = iblk[:, 0]
+    sp = iblk[:, 1]
+    pack = iblk[:, 2]
+    done = iblk[:, 3].astype(bool)
+    stack = iblk[:, 4 : 4 + depth]
+    cand_id = iblk[:, 4 + depth : 4 + depth + cs]
+    state = (cur, sp, stack, best_u, pack, cand_t, cand_id, done)
+    return state, Ray(o, d), inv, limit_u
+
+
 def _run_ladder(state, uray, inv_dir, limit_u, mask_fn, make_runner):
     """Generic width ladder: run ``runner`` (built per stage from the
     stage's ray fields) until the active-lane count fits the next stage,
-    compact actives to that width, repeat. Writes each stage's state back
-    into the full arrays; returns the full-width state."""
+    compact actives to that width, repeat. Cross-rung state moves as two
+    packed matrices (see _pack_blocks); returns the full-width state."""
     n = state[0].shape[0]
+    depth = state[2].shape[1]
     sel_abs = None
     sray, sinv, slim = uray, inv_dir, limit_u
     st = state
-    full_state = state
+    full_f = full_i = None
     w = n
     while True:
         next_w = max(MIN_STAGE, w // LADDER_DIV)
@@ -338,25 +385,20 @@ def _run_ladder(state, uray, inv_dir, limit_u, mask_fn, make_runner):
             return jnp.sum(mask_fn(s, slim)) > thresh
 
         st = jax.lax.while_loop(cond, runner, st)
+        fblk, iblk = _pack_blocks(st, sray, sinv, slim)
         if sel_abs is None:
-            full_state = st
+            full_f, full_i = fblk, iblk
         else:
-            full_state = tuple(
-                f.at[sel_abs].set(s) for f, s in zip(full_state, st)
-            )
+            full_f = full_f.at[sel_abs].set(fblk)
+            full_i = full_i.at[sel_abs].set(iblk)
         if last:
             break
         prio = jnp.argsort(~mask_fn(st, slim))[:next_w]
         sel_abs = prio if sel_abs is None else sel_abs[prio]
-        st = tuple(a[prio] for a in st)
-        sray = Ray(
-            Vec3(sray.origin.x[prio], sray.origin.y[prio], sray.origin.z[prio]),
-            Vec3(sray.dir.x[prio], sray.dir.y[prio], sray.dir.z[prio]),
-        )
-        sinv = Vec3(sinv.x[prio], sinv.y[prio], sinv.z[prio])
-        slim = slim[prio]
+        st, sray, sinv, slim = _unpack_blocks(fblk[prio], iblk[prio], depth)
         w = next_w
-    return full_state
+    state, _, _, _ = _unpack_blocks(full_f, full_i, depth)
+    return state
 
 
 def deferred_traverse(ct: ClusterTables, ray: Ray, t_min, limit, best_time,
@@ -448,15 +490,14 @@ def deferred_traverse(ct: ClusterTables, ray: Ray, t_min, limit, best_time,
         # alternating fixpoint at full width cost ~90 ms (measured,
         # two_phase_split.py) — compact the not-done lanes to MIN_STAGE
         # per cycle instead.
-        def cleanup_body(state):
-            sel = jnp.argsort(state[7])[:MIN_STAGE]  # not-done lanes first
-            sub = tuple(a[sel] for a in state)
-            sub_ray = Ray(
-                Vec3(uray.origin.x[sel], uray.origin.y[sel], uray.origin.z[sel]),
-                Vec3(uray.dir.x[sel], uray.dir.y[sel], uray.dir.z[sel]),
+        fblk0, iblk0 = _pack_blocks(state, uray, inv_dir, limit_u)
+
+        def cleanup_body(blocks):
+            fblk, iblk = blocks
+            sel = jnp.argsort(iblk[:, 3])[:MIN_STAGE]  # not-done lanes first
+            sub, sub_ray, sub_inv, sub_lim = _unpack_blocks(
+                fblk[sel], iblk[sel], depth
             )
-            sub_inv = Vec3(inv_dir.x[sel], inv_dir.y[sel], inv_dir.z[sel])
-            sub_lim = limit_u[sel]
             sub = _descent_burst(
                 ct.tree, sub_ray, sub_inv, t_min, sub_lim, sub, DESCENT_STEPS
             )
@@ -468,9 +509,13 @@ def deferred_traverse(ct: ClusterTables, ray: Ray, t_min, limit, best_time,
             if any_hit:
                 done = done | (best_u < sub_lim)
             sub = (cur, sp, stack, best_u, pack, cand_t, cand_id, done)
-            return tuple(a.at[sel].set(b) for a, b in zip(state, sub))
+            sf, si = _pack_blocks(sub, sub_ray, sub_inv, sub_lim)
+            return fblk.at[sel].set(sf), iblk.at[sel].set(si)
 
-        state = jax.lax.while_loop(pending_any, cleanup_body, state)
+        fblk0, iblk0 = jax.lax.while_loop(
+            lambda b: jnp.any(b[1][:, 3] == 0), cleanup_body, (fblk0, iblk0)
+        )
+        state, _, _, _ = _unpack_blocks(fblk0, iblk0, depth)
         best_u, pack = state[3], state[4]
     if any_hit:
         tri = jnp.where(pack >= 0, 0, -1)

@@ -46,12 +46,13 @@ from ..vec import Vec3, where
 FIREFLY_CLAMP = 100.0  # renderer.rs:18
 BACKGROUND_DIST = 400.0  # renderer.rs:199
 RR_P = 0.8  # renderer.rs:193
-# Concatenate all lights' shadow rays into one occlusion wavefront?
-# Measured NET-NEGATIVE on the dragon bench (1.70 -> 1.61 Mrays/s): the
-# pooled ladder/fixed-cost savings do not pay for doubling the
-# full-width bulk of the tiled sort + deferred stages. Kept as an
-# opt-in for narrow wavefronts where fixed costs dominate.
-SHADOW_BATCH = os.environ.get("RPT_TPU_SHADOW_BATCH", "0") == "1"
+# Concatenate all lights' shadow rays into one occlusion wavefront.
+# Was net-negative in round 2 (1.70 -> 1.61 Mrays/s), but two later
+# changes flipped it: zero-contribution gating retires ~a third of the
+# pooled lanes at entry, and the per-traversal-call machinery (~35-40 ms
+# in-graph, experiments/ladder_overhead.py) is shared instead of paid
+# per light. Measured 2.15 -> 2.72 Mrays/s on the dragon bench.
+SHADOW_BATCH = os.environ.get("RPT_TPU_SHADOW_BATCH", "1") == "1"
 
 
 def _sanitize(pos: Vec3, mask) -> Vec3:
