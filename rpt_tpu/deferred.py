@@ -130,12 +130,23 @@ def _descend_mask(state):
     return (cur >= 0) & (_n_cand(state) < CAND_SLOTS) & ~done
 
 
-def _pending_mask(state, limit_u, any_hit: bool):
+def _ah_lanes(limit_u, any_hit):
+    """Per-lane any-hit mask. ``any_hit`` is True, False, or "mixed";
+    mixed pools occlusion lanes (finite limit) with closest-hit lanes
+    (limit INF) in ONE wavefront so the per-traversal-call machinery
+    (~35-40 ms in-graph, experiments/ladder_overhead.py) is paid once."""
+    if any_hit == "mixed":
+        return limit_u < INF
+    return jnp.ones_like(limit_u, bool) if any_hit else None
+
+
+def _pending_mask(state, limit_u, any_hit):
     cur, _, _, best_u, _, cand_t, _, done = state
     cutoff = jnp.minimum(best_u, limit_u)
     pend = jnp.any(cand_t < cutoff[:, None], axis=1) & ~done
-    if any_hit:
-        pend &= ~(best_u < limit_u)
+    ah = _ah_lanes(limit_u, any_hit)
+    if ah is not None:
+        pend &= ~(ah & (best_u < limit_u))
     return pend
 
 
@@ -209,13 +220,14 @@ def _make_descent_step(tree, ray, inv_dir, t_min, limit_u):
     return step
 
 
-def _make_prune(limit_u, any_hit: bool):
+def _make_prune(limit_u, any_hit):
     def prune(state):
         cur, sp, stack, best_u, pack, cand_t, cand_id, done = state
         cutoff = jnp.minimum(best_u, limit_u)
         keep = cand_t < cutoff[:, None]
-        if any_hit:
-            keep &= ~(best_u < limit_u)[:, None]
+        ah = _ah_lanes(limit_u, any_hit)
+        if ah is not None:
+            keep &= ~(ah & (best_u < limit_u))[:, None]
         cand_t = jnp.where(keep, cand_t, INF)
         return (cur, sp, stack, best_u, pack, cand_t, cand_id, done)
 
@@ -439,8 +451,9 @@ def deferred_traverse(ct: ClusterTables, ray: Ray, t_min, limit, best_time,
     def finish(state, limit_u):
         cur, sp, stack, best_u, pack, cand_t, cand_id, done = state
         done = done | ((cur < 0) & ~jnp.any(cand_t < INF, axis=1))
-        if any_hit:
-            done = done | (best_u < limit_u)
+        ah = _ah_lanes(limit_u, any_hit)
+        if ah is not None:
+            done = done | (ah & (best_u < limit_u))
         return (cur, sp, stack, best_u, pack, cand_t, cand_id, done)
 
     def alternating_phase(state, uray=uray, inv_dir=inv_dir, limit_u=limit_u):
@@ -506,8 +519,9 @@ def deferred_traverse(ct: ClusterTables, ray: Ray, t_min, limit, best_time,
             )
             cur, sp, stack, best_u, pack, cand_t, cand_id, done = sub
             done = done | ((cur < 0) & ~jnp.any(cand_t < INF, axis=1))
-            if any_hit:
-                done = done | (best_u < sub_lim)
+            ah = _ah_lanes(sub_lim, any_hit)
+            if ah is not None:
+                done = done | (ah & (best_u < sub_lim))
             sub = (cur, sp, stack, best_u, pack, cand_t, cand_id, done)
             sf, si = _pack_blocks(sub, sub_ray, sub_inv, sub_lim)
             return fblk.at[sel].set(sf), iblk.at[sel].set(si)
@@ -517,10 +531,10 @@ def deferred_traverse(ct: ClusterTables, ray: Ray, t_min, limit, best_time,
         )
         state, _, _, _ = _unpack_blocks(fblk0, iblk0, depth)
         best_u, pack = state[3], state[4]
-    if any_hit:
+    if any_hit is True:
         tri = jnp.where(pack >= 0, 0, -1)
         u = v = w = jnp.zeros((n,), DTYPE)
-    else:
+    else:  # closest or mixed: recover the winning triangle's attributes
         tri, u, v, w = _recover_hit(ct.rec, best_u, pack, ray.origin, dn, t_min)
     time = jnp.where(
         pack >= 0,

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import sampling
-from ..dtypes import DTYPE
+from ..dtypes import DTYPE, INF
 from ..intersect import closest_hit, occluded
 from ..materials import bsdf, sample_f
 from ..ray import Ray
@@ -53,6 +53,15 @@ RR_P = 0.8  # renderer.rs:193
 # in-graph, experiments/ladder_overhead.py) is shared instead of paid
 # per light. Measured 2.15 -> 2.72 Mrays/s on the dragon bench.
 SHADOW_BATCH = os.environ.get("RPT_TPU_SHADOW_BATCH", "1") == "1"
+# Pool level b's shadow rays with level b+1's bounce closest-hit into ONE
+# mixed traversal per scan iteration (intersect.mixed_closest_occluded).
+# Measured NET-NEGATIVE on the dragon bench (2.72 -> 2.55 without the L0
+# tile prepass, 2.27 with it): mixing deep closest lanes with shallow
+# any-hit lanes in one ladder costs more lock-step width than the shared
+# per-call machinery saves. Kept opt-in (radiance is bit-identical —
+# goldens pass either way) for narrow wavefronts where fixed costs
+# dominate; see PERF.md round-3 notes.
+POOLED_SCHEDULE = os.environ.get("RPT_TPU_POOLED_SCHEDULE", "0") == "1"
 
 
 def _sanitize(pos: Vec3, mask) -> Vec3:
@@ -213,10 +222,21 @@ def trace_surface(scene, tables, ray: Ray, keys, max_bounces: int,
 
     With ``return_stats``, also returns the number of traced ray segments
     (camera/bounce + shadow) for Mrays/sec accounting.
+
+    Scheduling: by default each level runs its closest-hit then one
+    batched occlusion query for all lights (SHADOW_BATCH). The opt-in
+    POOLED_SCHEDULE further merges level b's shadows with level b+1's
+    closest into one mixed traversal — bit-identical radiance, but
+    measured slower on the dragon bench (see POOLED_SCHEDULE note).
     """
     n = ray.origin.shape[0]
     materials = tables["materials"]
     n_shadow = sum(1 for l in scene.lights if l.kind != "ambient")
+    if (POOLED_SCHEDULE and scene.nee_mode != "exact" and n_shadow > 0
+            and max_bounces >= 1):
+        return _trace_surface_pooled(
+            scene, tables, ray, keys, max_bounces, return_stats
+        )
 
     def level(carry, b, coherent: bool, is_b0: bool):
         ray, keys_state, alive = carry
@@ -283,6 +303,195 @@ def trace_surface(scene, tables, ray: Ray, keys, max_bounces: int,
         return contrib + indirect, None
 
     L0, _ = jax.lax.scan(back, Vec3.zeros(n), (contribs, factors), reverse=True)
+    if return_stats:
+        return L0, jnp.sum(segments)
+    return L0
+
+
+def _nee_setup(scene, tables, mat, pos: Vec3, nrm: Vec3, wo: Vec3, kb,
+               hitmask):
+    """Per-light shadow-ray ingredients (direction, unshadowed
+    contribution, gated limit) + the ambient term — everything of
+    renderer.rs:362-409's NEE except the visibility query, which runs
+    pooled one level later (see trace_surface). RNG stream identical to
+    sample_lights."""
+    from ..lights import illuminate
+
+    keys = sampling.fold(kb, 2)
+    amb = Vec3.zeros(jnp.shape(pos.x))
+    sh = []
+    for li, (lstat, ltab) in enumerate(zip(scene.lights, tables["lights"])):
+        if lstat.kind == "ambient":
+            amb = amb + ltab["color"].broadcast_to(pos.shape) * mat.color_query()
+            continue
+        lkeys = sampling.fold(keys, 0x1100 + li)
+        intensity, wi, dist = illuminate(lstat, ltab, pos, lkeys)
+        f = bsdf(mat, nrm, wo, wi)
+        contrib = f * intensity * wi.dot(nrm)
+        lmask = hitmask & _nonzero_contrib(contrib)
+        limit = jnp.where(lmask, dist * (1.0 - scene.shadow_eps), -1.0)
+        # resolved/pre_occ are filled by the L0 tile prepass (pooled
+        # schedule); levels 1+ leave them all-False
+        no = jnp.zeros(jnp.shape(limit), bool)
+        sh.append((wi, contrib, limit, no, no))
+    return amb, tuple(sh)
+
+
+def _trace_surface_pooled(scene, tables, ray: Ray, keys, max_bounces: int,
+                          return_stats: bool):
+    """The pooled schedule behind trace_surface: iteration b runs ONE
+    mixed traversal (level b-1's shadow rays + level b's bounce closest),
+    and level b-1's NEE sum is assembled from it in the same operation
+    order as the naive schedule — radiance is bit-identical."""
+    from ..intersect import mixed_closest_occluded
+
+    n = ray.origin.shape[0]
+    materials = tables["materials"]
+    n_shadow = sum(1 for l in scene.lights if l.kind != "ambient")
+    zero = Vec3.zeros(n)
+    dead_pos, dead_dir = _dead_ray_fields(n)
+
+    def shade(ray, hit, alive, kb, is_b0: bool, b):
+        """Everything level b does EXCEPT its NEE visibility: emission,
+        env, shadow-ray setup, bounce sampling."""
+        hitmask = alive & hit.valid
+        missmask = alive & ~hit.valid
+        mat = materials.lookup(hit.material)
+        pos = _sanitize(ray.at(hit.time), hitmask)
+        wo = -ray.dir.normalize()
+        if is_b0:  # emission only at bounce 0 (renderer.rs:295-299)
+            emit = mat.color_query() * mat.emittance_query()
+            emit = where(hitmask, emit, zero)
+        else:
+            emit = zero
+        envterm = where(missmask, scene.env_color(tables, ray.dir), zero)
+        amb, sh = _nee_setup(scene, tables, mat, pos, hit.normal, wo, kb,
+                             hitmask)
+        wi, pdf, valid = sample_f(mat, hit.normal, wo, sampling.fold(kb, 3))
+        f = bsdf(mat, hit.normal, wo, wi)
+        bounce_ok = hitmask & valid & (b < max_bounces)
+        safe_pdf = jnp.maximum(pdf, 1e-20)
+        factor = f * (jnp.abs(wi.dot(hit.normal)) / safe_pdf)
+        factor = where(bounce_ok, factor, zero)
+        new_ray = Ray(where(bounce_ok, pos, dead_pos),
+                      where(bounce_ok, wi, dead_dir))
+        segments = jnp.sum(alive) + jnp.sum(hitmask) * n_shadow
+        base = (emit, envterm, amb, hitmask, pos)
+        return new_ray, bounce_ok, sh, base, factor, segments
+
+    def assemble(base, sh, occs):
+        """Level contribution, in sample_lights'/level()'s exact
+        operation order. Lanes the L0 tile prepass resolved take their
+        pre-computed occlusion instead of the pooled result."""
+        emit, envterm, amb, hitmask, _ = base
+        nee = amb
+        for (wi, contrib, limit, resolved, pre_occ), occ in zip(sh, occs):
+            occ_eff = jnp.where(resolved, pre_occ, occ)
+            nee = nee + where(~occ_eff, contrib, zero)
+        return emit + where(hitmask, nee, zero) + envterm
+
+    def cat3(parts):
+        return Vec3(*(jnp.concatenate([getattr(p, c) for p in parts])
+                      for c in "xyz"))
+
+    def body(carry, b):
+        bounce_ray, keys_state, alive, sh, base = carry
+        kb = sampling.fold(keys_state, b)
+        pos_prev = base[4]
+        ray3 = Ray(
+            cat3([bounce_ray.origin] + [pos_prev] * len(sh)),
+            cat3([bounce_ray.dir] + [wi for wi, *_ in sh]),
+        )
+        limit3 = jnp.concatenate(
+            [jnp.full(n, INF, DTYPE)] + [sh_l[2] for sh_l in sh]
+        )
+        hit, occflat = mixed_closest_occluded(scene, tables, ray3, limit3, n)
+        occs = [occflat[i * n : (i + 1) * n] for i in range(len(sh))]
+        contrib_prev = assemble(base, sh, occs)
+        new_ray, bounce_ok, sh2, base2, factor, segments = shade(
+            bounce_ray, hit, alive, kb, False, b
+        )
+        return (
+            (new_ray, keys_state, bounce_ok, sh2, base2),
+            (contrib_prev, factor, segments),
+        )
+
+    # level 0: coherent tile path, unrolled
+    kb0 = sampling.fold(keys, jnp.asarray(0))
+    hit0 = closest_hit(scene, tables, ray, coherent=True)
+    new_ray, bounce_ok, sh, base, factor0, seg0 = shade(
+        ray, hit0, jnp.ones(n, bool), kb0, True, 0
+    )
+
+    # L0 shadow rays are COHERENT after the tile sort (79-96% certified,
+    # PERF.md) — resolve them with the tile prepass here, unrolled; only
+    # the residual joins iteration 1's pooled traversal. Without this the
+    # pooled schedule regressed 2.72 -> 2.55 (the L0 shadow bulk swamped
+    # the saved machinery).
+    from ..intersect import DENSE_TRI_ROWS, TILED_MIN_RAYS
+
+    clusters = tables.get("clusters")
+    Lh = len(sh)
+    use_prepass = (
+        scene.n_tris
+        and clusters is not None
+        and tables["bvh"].leaves.shape[0] > DENSE_TRI_ROWS
+        and Lh * n >= TILED_MIN_RAYS
+    )
+    if use_prepass:
+        from ..intersect import prim_occluded, tiled_anyhit_prepass
+
+        pos0 = base[4]
+        bpos = cat3([pos0] * Lh)
+        bwi = cat3([wi for wi, *_ in sh])
+        blim = jnp.concatenate([s[2] for s in sh])
+        pocc = prim_occluded(scene, tables, Ray(bpos, bwi), blim)
+        live = (blim > scene.t_min) & ~pocc
+        tocc, tcert = tiled_anyhit_prepass(
+            clusters, Ray(bpos, bwi), scene.t_min, blim, live
+        )
+        pre_occ_all = pocc | tocc
+        resolved_all = ~live | tcert | tocc
+        sh = tuple(
+            (
+                wi, contrib,
+                jnp.where(resolved_all[i * n : (i + 1) * n], -1.0, limit),
+                resolved_all[i * n : (i + 1) * n],
+                pre_occ_all[i * n : (i + 1) * n],
+            )
+            for i, (wi, contrib, limit, _, _) in enumerate(sh)
+        )
+
+    carry = (new_ray, keys, bounce_ok, sh, base)
+    carry, (contribs_s, factors_s, segments_s) = jax.lax.scan(
+        body, carry, jnp.arange(1, max_bounces + 1)
+    )
+
+    # final level's shadows: one standalone batched occlusion query
+    _, _, _, sh_last, base_last = carry
+    L = len(sh_last)
+    bpos = cat3([base_last[4]] * L)
+    bwi = cat3([wi for wi, *_ in sh_last])
+    blim = jnp.concatenate([sh_l[2] for sh_l in sh_last])
+    occ = occluded(scene, tables, Ray(bpos, bwi), blim, coherent=False)
+    occs_last = [occ[i * n : (i + 1) * n] for i in range(L)]
+    contrib_last = assemble(base_last, sh_last, occs_last)
+
+    contribs = jax.tree_util.tree_map(
+        lambda s, l: jnp.concatenate([s, l[None]]), contribs_s, contrib_last
+    )
+    factors = jax.tree_util.tree_map(
+        lambda f0, fs: jnp.concatenate([f0[None], fs]), factor0, factors_s
+    )
+    segments = jnp.concatenate([seg0[None], segments_s])
+
+    def back(L_, level_data):
+        contrib, factor = level_data
+        indirect = (factor * L_).minimum(FIREFLY_CLAMP)
+        return contrib + indirect, None
+
+    L0, _ = jax.lax.scan(back, Vec3.zeros(n), (contribs, factors),
+                         reverse=True)
     if return_stats:
         return L0, jnp.sum(segments)
     return L0

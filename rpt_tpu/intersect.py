@@ -687,6 +687,31 @@ def bvh_closest_hit(bvh: BVHTables, ray: Ray, t_min, best: Hit,
     return _finish_hit(bvh, best, time, tri, u, v, w)
 
 
+def tiled_anyhit_prepass(clusters, ray: Ray, t_min, limit_arr, live):
+    """Coherent occlusion prepass: argsort the wavefront into tiles
+    (origin Morton + direction octant — shadow directions converge on
+    one light, so sorted tiles get tight beams) and run the tile-binned
+    any-hit. Returns ``(occ, cert)`` in the caller's lane order; lanes
+    with ``~cert & ~occ`` still need an exact traversal."""
+    from .tiled import coherence_key, tiled_traverse
+
+    n = ray.origin.shape[0]
+    key = jnp.where(
+        live, coherence_key(ray.origin, ray.dir, mask=live),
+        jnp.int32(0x7FFFFFFF),
+    )
+    order = jnp.argsort(key)
+    s_ray = Ray(take(ray.origin, order), take(ray.dir, order))
+    s_limit = jnp.where(live, limit_arr, -1.0)[order]
+    time_s, _, _, _, _, cert_s = tiled_traverse(
+        clusters, s_ray, t_min, s_limit, jnp.full(n, INF, DTYPE),
+        any_hit=True,
+    )
+    occ = jnp.zeros(n, bool).at[order].set(time_s < s_limit)
+    cert = jnp.zeros(n, bool).at[order].set(cert_s)
+    return occ, cert
+
+
 def bvh_any_hit(bvh: BVHTables, ray: Ray, t_min, limit, clusters=None,
                 coherent: bool = True, skip=None) -> jax.Array:
     """True where some triangle lies at t in [t_min, limit) — early-exit
@@ -711,26 +736,8 @@ def bvh_any_hit(bvh: BVHTables, ray: Ray, t_min, limit, clusters=None,
         if skip is not None:
             live = live & ~skip
         if coherent:
-            from .tiled import coherence_key, tiled_traverse
-
-            # occlusion wavefronts arrive in pixel order, but their
-            # ORIGINS (hit points) are scattered — argsort into coherent
-            # tiles first (origin Morton + direction octant; shadow
-            # directions converge on one light, so sorted tiles get
-            # tight beams)
-            key = jnp.where(
-                live, coherence_key(ray.origin, ray.dir, mask=live),
-                jnp.int32(0x7FFFFFFF),
-            )
-            order = jnp.argsort(key)
-            s_ray = Ray(take(ray.origin, order), take(ray.dir, order))
-            s_limit = jnp.where(live, limit_arr, -1.0)[order]
-            time_s, _, _, _, _, cert_s = tiled_traverse(
-                clusters, s_ray, t_min, s_limit, jnp.full(n, INF, DTYPE),
-                any_hit=True,
-            )
-            occ = jnp.zeros(n, bool).at[order].set(time_s < s_limit)
-            cert = jnp.zeros(n, bool).at[order].set(cert_s)
+            occ, cert = tiled_anyhit_prepass(clusters, ray, t_min,
+                                             limit_arr, live)
             active = live & ~cert & ~occ
         else:
             occ = jnp.zeros(n, bool)
@@ -761,6 +768,17 @@ def closest_hit(scene, tables, ray: Ray, t_min=None, coherent: bool = True) -> H
     """
     if t_min is None:
         t_min = scene.t_min
+    best = _prim_best(scene, tables, ray, t_min)
+    if scene.n_tris:
+        best = bvh_closest_hit(
+            tables["bvh"], ray, t_min, best, clusters=tables.get("clusters"),
+            coherent=coherent,
+        )
+    return best
+
+
+def _prim_best(scene, tables, ray: Ray, t_min) -> Hit:
+    """Masked-min closest hit over the analytic primitive batches."""
     best = Hit.none(ray.origin.shape)
     if scene.n_spheres:
         best = intersect_spheres(tables["spheres"], ray, t_min, best)
@@ -770,12 +788,16 @@ def closest_hit(scene, tables, ray: Ray, t_min=None, coherent: bool = True) -> H
         best = intersect_planes(tables["planes"], ray, t_min, best)
     if scene.n_monomials:
         best = intersect_monomials(tables["monomials"], ray, t_min, best)
-    if scene.n_tris:
-        best = bvh_closest_hit(
-            tables["bvh"], ray, t_min, best, clusters=tables.get("clusters"),
-            coherent=coherent,
-        )
     return best
+
+
+def prim_occluded(scene, tables, ray: Ray, limit, t_min=None) -> jax.Array:
+    """Occlusion by analytic primitives only (the mesh is NOT tested) —
+    used by the pooled integrator schedule to resolve prim-shadowed lanes
+    before the coherent tile prepass."""
+    if t_min is None:
+        t_min = scene.t_min
+    return _prim_best(scene, tables, ray, t_min).time < limit
 
 
 def occluded(scene, tables, ray: Ray, limit, t_min=None,
@@ -787,19 +809,74 @@ def occluded(scene, tables, ray: Ray, limit, t_min=None,
     skip the BVH."""
     if t_min is None:
         t_min = scene.t_min
-    best = Hit.none(ray.origin.shape)
-    if scene.n_spheres:
-        best = intersect_spheres(tables["spheres"], ray, t_min, best)
-    if scene.n_cubes:
-        best = intersect_cubes(tables["cubes"], ray, t_min, best)
-    if scene.n_planes:
-        best = intersect_planes(tables["planes"], ray, t_min, best)
-    if scene.n_monomials:
-        best = intersect_monomials(tables["monomials"], ray, t_min, best)
-    occ = best.time < limit
+    occ = _prim_best(scene, tables, ray, t_min).time < limit
     if scene.n_tris:
         occ = occ | bvh_any_hit(
             tables["bvh"], ray, t_min, limit, clusters=tables.get("clusters"),
             coherent=coherent, skip=occ,
         )
     return occ
+
+
+def _hit_slice(h: Hit, n: int) -> Hit:
+    return Hit(
+        h.time[:n],
+        Vec3(h.normal.x[:n], h.normal.y[:n], h.normal.z[:n]),
+        h.material[:n],
+    )
+
+
+def mixed_closest_occluded(scene, tables, ray: Ray, limit, n_closest: int,
+                           t_min=None):
+    """ONE pooled traversal serving closest-hit lanes [0, n_closest) and
+    occlusion lanes [n_closest, N). ``limit`` must be INF on closest
+    lanes and the shadow limit (or -1 for disabled lanes) on occlusion
+    lanes. Returns ``(Hit over the closest slice, occluded bool over the
+    occlusion slice)``.
+
+    Rationale: each deferred-traversal call costs ~35-40 ms of in-graph
+    machinery regardless of work (experiments/ladder_overhead.py), and
+    the integrator used to issue separate closest + occlusion calls per
+    level. Pooling a level's shadow rays with the NEXT level's bounce
+    closest-hit (they are independent given the previous hit) shares
+    that cost; per-lane results are unchanged (the traversal is exact
+    per lane regardless of pooling), so radiance is bit-identical.
+    Reference analog: the per-pixel recursion interleaves these same
+    queries (renderer.rs:286-321 + 362-409); pooling is TPU scheduling.
+    """
+    if t_min is None:
+        t_min = scene.t_min
+    n = ray.origin.shape[0]
+    best = _prim_best(scene, tables, ray, t_min)
+    occ_prim = best.time < limit
+    if not scene.n_tris:
+        return _hit_slice(best, n_closest), occ_prim[n_closest:]
+    bvh = tables["bvh"]
+    clusters = tables.get("clusters")
+    if bvh.leaves.shape[0] <= DENSE_TRI_ROWS:
+        h = dense_tri_hit(bvh, ray, t_min, best)
+        return _hit_slice(h, n_closest), (h.time < limit)[n_closest:]
+    if clusters is not None and n >= TILED_MIN_RAYS:
+        from .deferred import deferred_traverse
+
+        is_ah = jnp.arange(n) >= n_closest
+        active = ~is_ah | ((limit > t_min) & ~occ_prim)
+        best_in = jnp.where(is_ah, INF, best.time)
+        time, tri, u, v, w = deferred_traverse(
+            clusters, ray, t_min, limit, best_in, any_hit="mixed",
+            active=active,
+        )
+        hit = _finish_hit(
+            bvh, _hit_slice(best, n_closest), time[:n_closest],
+            tri[:n_closest], u[:n_closest], v[:n_closest], w[:n_closest],
+        )
+        return hit, (occ_prim | (time < limit))[n_closest:]
+    # small/narrow fallback: exact short-stack closest over all lanes
+    time, tri, u, v, w = _traverse(
+        bvh, ray, t_min, jnp.full(n, INF, DTYPE), best.time, any_hit=False,
+    )
+    hit = _finish_hit(
+        bvh, _hit_slice(best, n_closest), time[:n_closest], tri[:n_closest],
+        u[:n_closest], v[:n_closest], w[:n_closest],
+    )
+    return hit, (occ_prim | (time < limit))[n_closest:]

@@ -167,3 +167,42 @@ def test_colored_glowing_fog_runs():
     assert np.isfinite(vals).all()
     # emissive fog: bounce-0 medium events emit 10 * color -> nonzero image
     assert vals.mean() > 0.1
+
+
+def test_pooled_schedule_bit_identical():
+    """The opt-in pooled schedule (shadows of level b + closest of level
+    b+1 in ONE mixed traversal — integrators.path.POOLED_SCHEDULE) must
+    produce BIT-identical radiance to the default schedule: it reorders
+    scheduling, not math. Uses a mesh scene so the mixed deferred
+    traversal (any_hit="mixed") and the L0 tile prepass are exercised."""
+    from rpt_tpu.integrators import path as P
+    from rpt_tpu.meshes import displaced_blob
+
+    scene = rpt.Scene()
+    scene.add(rpt.Object(displaced_blob(101, 102, amplitude=0.3, seed=3))
+              .material(rpt.Material.specular((0.8, 0.7, 0.5), 0.4)))
+    scene.add(rpt.Object(rpt.plane((0, 1, 0), -1.0))
+              .material(rpt.Material.diffuse((0.6, 0.6, 0.6))))
+    scene.add(rpt.Light.Point((30.0, 30.0, 30.0), (3.0, 4.0, 2.0)))
+    scene.add(rpt.Light.Object(
+        rpt.Object(rpt.sphere().scale((0.3, 0.3, 0.3)).translate((-2.0, 2.5, 1.0)))
+        .material(rpt.Material.light((1.0, 0.9, 0.8), 20.0))))
+    cs = scene.compile()
+    assert "clusters" in cs.tables  # big enough for the cluster engines
+
+    n = 8192  # >= TILED_MIN_RAYS so the deferred/tiled paths engage
+    ray = _rays_at_sphere(n, seed=5)
+    keys = keys_for(jax.random.key(7), n)
+
+    default = trace_surface(cs, cs.tables, ray, keys, max_bounces=2)
+    old = P.POOLED_SCHEDULE
+    P.POOLED_SCHEDULE = True
+    try:
+        pooled = trace_surface(cs, cs.tables, ray, keys, max_bounces=2)
+    finally:
+        P.POOLED_SCHEDULE = old
+
+    for c in "xyz":
+        np.testing.assert_array_equal(
+            np.asarray(getattr(default, c)), np.asarray(getattr(pooled, c))
+        )
