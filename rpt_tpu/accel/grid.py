@@ -83,6 +83,21 @@ def _box_totals(qc: np.ndarray, counts: np.ndarray, dims, rad: int):
     return totals
 
 
+def _box_totals_device(qc: np.ndarray, counts_dev, dims, rad: int):
+    """_box_totals against DEVICE counts: one (B, Q) gather + reduce for
+    the B=(2rad+1)^3 offsets x Q sampled queries (single dispatch)."""
+    r = np.arange(-rad, rad + 1)
+    offs = np.stack(np.meshgrid(r, r, r, indexing="ij"), -1).reshape(-1, 3)
+    nb = qc[None, :, :] + offs[:, None, :]
+    dims_a = np.asarray(dims)
+    ok = ((nb >= 0) & (nb < dims_a)).all(-1)
+    ids = (nb[..., 0] * dims[1] + nb[..., 1]) * dims[2] + nb[..., 2]
+    ids = np.clip(ids, 0, int(np.prod(dims)) - 1)
+    vals = counts_dev[jnp.asarray(ids)]
+    totals = jnp.sum(jnp.where(jnp.asarray(ok), vals, 0), axis=0)
+    return np.asarray(totals, np.int64)
+
+
 def _grid_for(positions, lo, span, h):
     # keep h >= span/512 so the per-axis 512-cell cap never makes
     # _cell_coords collapse the tail of an axis into its last cell
@@ -103,7 +118,44 @@ def _window(totals, k, n, hi):
     return int(np.clip(-(-w // 8) * 8, min(k, n) + 8, hi))
 
 
-def build_photon_grid(positions: np.ndarray, k: int, cap: int = 24,
+def _device_cell_ids(pos_dev, origin, inv_h, dims):
+    """Device cell ids for the full cloud (f32 arithmetic — the host path
+    bins in f64; the two can differ on photons landing within f32 eps of
+    a cell boundary, which shifts k-NN candidate windows by at most one
+    boundary photon — measured equivalent within the pipeline's sampled
+    tolerance, tests/test_photon.py::test_device_grid_build_agrees)."""
+    o = jnp.asarray(origin, jnp.float32)
+    d = jnp.asarray(dims, jnp.int32)
+    c = jnp.floor((pos_dev - o) * jnp.float32(inv_h)).astype(jnp.int32)
+    c = jnp.clip(c, 0, d - 1)
+    return (c[:, 0] * d[1] + c[:, 1]) * d[2] + c[:, 2]
+
+
+def _finalize_device(pos_dev, lo, span, h, h2, dims, dims2, inv_h, inv_h2):
+    """order/starts/map2 + full-cloud counts, all on device — photon
+    clouds live on the TPU and the axon device->host link runs at
+    ~13-40 MB/s, so multi-M-row pulls for a host argsort dominated the
+    photon map build wall (PERF.md round-3)."""
+    n = pos_dev.shape[0]
+    cell_id = _device_cell_ids(pos_dev, lo, inv_h, dims)
+    cell_id2 = _device_cell_ids(pos_dev, lo, inv_h2, dims2)
+    counts = jnp.bincount(cell_id, length=int(np.prod(dims)))
+    order = jnp.argsort(cell_id, stable=True)
+    starts = jnp.searchsorted(
+        cell_id[order], jnp.arange(int(np.prod(dims)) + 1)
+    )
+    order2 = jnp.argsort(cell_id2, stable=True)
+    starts2 = jnp.searchsorted(
+        cell_id2[order2], jnp.arange(int(np.prod(dims2)) + 1)
+    )
+    fine_slot = jnp.zeros(n, jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    map2 = fine_slot[order2]
+    return counts, order, starts, order2, starts2, map2
+
+
+def build_photon_grid(positions, k: int, cap: int = 24,
                       sample_queries: np.ndarray | None = None):
     """Build the two-level photon grid, calibrated for k-NN.
 
@@ -111,9 +163,28 @@ def build_photon_grid(positions: np.ndarray, k: int, cap: int = 24,
     "map2"} device arrays. Photon payload arrays must be sorted by
     ``order`` by the caller; ``map2`` maps coarse-sorted slots to
     fine-sorted slots (the coarse pass returns indices through it).
-    ``cap`` is kept for API compatibility (unused)."""
+    ``cap`` is kept for API compatibility (unused).
+
+    ``positions`` may be a host ndarray (exact f64 binning — the CPU/test
+    path) or a device array: then calibration runs on a pulled subsample
+    and the full-cloud sort/bin/map construction stays ON DEVICE (the
+    multi-M-row device->host pull + host argsort used to dominate the
+    build wall on axon)."""
+    on_device = isinstance(positions, jax.Array) and not isinstance(
+        positions, np.ndarray
+    )
+    if on_device:
+        pos_dev = positions.reshape(-1, 3).astype(jnp.float32)
+        n_dev = pos_dev.shape[0]
+        if n_dev == 0:
+            positions = np.zeros((0, 3), np.float64)
+        else:
+            step = max(1, n_dev // 200_000)
+            positions = np.asarray(pos_dev[::step][:200_000], np.float64)
+            lo_dev = np.asarray(jnp.min(pos_dev, axis=0), np.float64)
+            hi_dev = np.asarray(jnp.max(pos_dev, axis=0), np.float64)
     positions = np.asarray(positions, np.float64).reshape(-1, 3)
-    n = len(positions)
+    n = n_dev if on_device else len(positions)
     if n == 0:
         static = PhotonGridStatic((0, 0, 0), 1.0, (1, 1, 1), 0, 0.0)
         z = jnp.zeros(2, jnp.int32)
@@ -122,14 +193,16 @@ def build_photon_grid(positions: np.ndarray, k: int, cap: int = 24,
             "starts2": z, "map2": jnp.zeros(0, jnp.int32),
         }
 
-    lo = positions.min(0)
-    hi = positions.max(0)
+    lo = lo_dev if on_device else positions.min(0)
+    hi = hi_dev if on_device else positions.max(0)
     span = np.maximum(hi - lo, 1e-9)
     vol = float(np.prod(span))
     k_eff = min(k, n)
 
     if sample_queries is None:
-        sample_queries = positions[:: max(1, n // 512)][:512]
+        # positions may be the pulled subsample (device path) — step by
+        # its OWN length so we still draw ~512 spread-out queries
+        sample_queries = positions[:: max(1, len(positions) // 512)][:512]
     sq = np.asarray(sample_queries, np.float64)
 
     # Calibration loops bin a SUBSAMPLE of the cloud (counts rescaled):
@@ -139,7 +212,10 @@ def build_photon_grid(positions: np.ndarray, k: int, cap: int = 24,
     # All correctness-relevant quantities (window caps, coverage, sort)
     # are computed from the FULL grid at the chosen h below.
     CAL_MAX = 200_000
-    if n > CAL_MAX:
+    if on_device:  # positions already IS the pulled subsample
+        calib = positions
+        cal_scale = n / len(calib)
+    elif n > CAL_MAX:
         calib = positions[:: n // CAL_MAX][:CAL_MAX]
         cal_scale = n / len(calib)
     else:
@@ -161,11 +237,21 @@ def build_photon_grid(positions: np.ndarray, k: int, cap: int = 24,
             continue
         h = h_eff
         break
-    h, dims, inv_h, cell_id, counts = _grid_for(positions, lo, span, h)
-    qc = _cell_coords(sq, lo, inv_h, dims)
-    totals = _box_totals(qc, counts, dims, 1)
+    if on_device:
+        h, dims, inv_h, _, _ = _grid_for(calib, lo, span, h)
+        counts_dev = jnp.bincount(
+            _device_cell_ids(pos_dev, lo, inv_h, dims),
+            length=int(np.prod(dims)),
+        )
+        qc = _cell_coords(sq, lo, inv_h, dims)
+        totals = _box_totals_device(qc, counts_dev, dims, 1)
+        totals5 = _box_totals_device(qc, counts_dev, dims, 2)
+    else:
+        h, dims, inv_h, cell_id, counts = _grid_for(positions, lo, span, h)
+        qc = _cell_coords(sq, lo, inv_h, dims)
+        totals = _box_totals(qc, counts, dims, 1)
+        totals5 = _box_totals(qc, counts, dims, 2)
     total_cap = _window(totals, k, n, 1024)
-    totals5 = _box_totals(qc, counts, dims, 2)
     total_cap2 = _window(totals5, k, n, 2048)
 
     # ---- coarse grid: cover the sparse strays --------------------------
@@ -184,9 +270,18 @@ def build_photon_grid(positions: np.ndarray, k: int, cap: int = 24,
             h2 = h2_eff
             break
         h2 = h2_eff * 1.5
-    h2, dims2, inv_h2, cell_id2, counts2 = _grid_for(positions, lo, span, h2)
-    qc2 = _cell_coords(sq, lo, inv_h2, dims2)
-    t2 = _box_totals(qc2, counts2, dims2, 1)
+    if on_device:
+        h2, dims2, inv_h2, _, _ = _grid_for(calib, lo, span, h2)
+        counts2_dev = jnp.bincount(
+            _device_cell_ids(pos_dev, lo, inv_h2, dims2),
+            length=int(np.prod(dims2)),
+        )
+        qc2 = _cell_coords(sq, lo, inv_h2, dims2)
+        t2 = _box_totals_device(qc2, counts2_dev, dims2, 1)
+    else:
+        h2, dims2, inv_h2, cell_id2, counts2 = _grid_for(positions, lo, span, h2)
+        qc2 = _cell_coords(sq, lo, inv_h2, dims2)
+        t2 = _box_totals(qc2, counts2, dims2, 1)
     trunc = float(np.mean(t2 < k_eff))
     # window from the plausibly-flagged samples (the only coarse users)
     t2f = t2[flagged] if flagged.any() else t2
@@ -200,16 +295,23 @@ def build_photon_grid(positions: np.ndarray, k: int, cap: int = 24,
             file=sys.stderr,
         )
 
-    order = np.argsort(cell_id, kind="stable")
-    starts = np.searchsorted(cell_id[order], np.arange(int(np.prod(dims)) + 1))
-    order2 = np.argsort(cell_id2, kind="stable")
-    starts2 = np.searchsorted(
-        cell_id2[order2], np.arange(int(np.prod(dims2)) + 1)
-    )
-    # coarse-slot -> fine-slot map: fine_slot_of_photon[order2]
-    fine_slot = np.empty(n, np.int64)
-    fine_slot[order] = np.arange(n)
-    map2 = fine_slot[order2]
+    if on_device:
+        _, order, starts, _, starts2, map2 = _finalize_device(
+            pos_dev, lo, span, h, h2, dims, dims2, inv_h, inv_h2
+        )
+    else:
+        order = np.argsort(cell_id, kind="stable")
+        starts = np.searchsorted(
+            cell_id[order], np.arange(int(np.prod(dims)) + 1)
+        )
+        order2 = np.argsort(cell_id2, kind="stable")
+        starts2 = np.searchsorted(
+            cell_id2[order2], np.arange(int(np.prod(dims2)) + 1)
+        )
+        # coarse-slot -> fine-slot map: fine_slot_of_photon[order2]
+        fine_slot = np.empty(n, np.int64)
+        fine_slot[order] = np.arange(n)
+        map2 = fine_slot[order2]
 
     static = PhotonGridStatic(
         tuple(lo), float(inv_h), tuple(int(d) for d in dims), n, trunc,

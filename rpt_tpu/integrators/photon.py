@@ -65,11 +65,15 @@ def _find_object_light(scene):
 # Pass 1: shooting
 
 
-def shoot_photons(scene, tables, key, photon_count: int, watts: float,
-                  kind: str, max_depth: int = 48, chunk: int = 1 << 19):
-    """Shoot photons; returns (surface_rows, volume_rows) as host float32
-    (S, PHOTON_ROW) arrays. Deposits beyond the per-chunk capacity are
-    counted and reported."""
+def shoot_photons_device(scene, tables, key, photon_count: int,
+                         watts: float, kind: str, max_depth: int = 48,
+                         chunk: int = 1 << 19):
+    """Shoot photons; returns (surface_rows, volume_rows) as DEVICE
+    float32 (S, PHOTON_ROW) arrays — only the two deposit COUNTS cross
+    the device->host link per chunk (the axon tunnel pulls at
+    ~13-40 MB/s, so the old per-chunk ~100 MB row pulls dominated the
+    shoot wall; PERF.md round-3). Deposits beyond the per-chunk capacity
+    are counted and reported."""
     li, light = _find_object_light(scene)
     power_scalar = watts / photon_count
 
@@ -86,14 +90,25 @@ def shoot_photons(scene, tables, key, photon_count: int, watts: float,
         s_count = int(s_count)
         v_count = int(v_count)
         dropped += max(0, s_count - launch.s_cap) + max(0, v_count - launch.v_cap)
-        surf_parts.append(np.asarray(s_rows[: min(s_count, launch.s_cap)]))
-        vol_parts.append(np.asarray(v_rows[: min(v_count, launch.v_cap)]))
+        surf_parts.append(s_rows[: min(s_count, launch.s_cap)])
+        vol_parts.append(v_rows[: min(v_count, launch.v_cap)])
         done += n
     if dropped:
         print(f"rpt_tpu: photon deposit capacity dropped {dropped} photons", file=sys.stderr)
-    surface = np.concatenate(surf_parts) if surf_parts else np.zeros((0, PHOTON_ROW), np.float32)
-    volume = np.concatenate(vol_parts) if vol_parts else np.zeros((0, PHOTON_ROW), np.float32)
+    empty = jnp.zeros((0, PHOTON_ROW), jnp.float32)
+    surface = jnp.concatenate(surf_parts) if surf_parts else empty
+    volume = jnp.concatenate(vol_parts) if vol_parts else empty
     return surface, volume
+
+
+def shoot_photons(scene, tables, key, photon_count: int, watts: float,
+                  kind: str, max_depth: int = 48, chunk: int = 1 << 19):
+    """shoot_photons_device pulled to host float32 arrays (bit-identical
+    rows; kept for host-side callers and tests)."""
+    surface, volume = shoot_photons_device(
+        scene, tables, key, photon_count, watts, kind, max_depth, chunk
+    )
+    return np.asarray(surface), np.asarray(volume)
 
 
 @dataclass
@@ -292,7 +307,28 @@ jax.tree_util.register_dataclass(
 )
 
 
-def _grid_sort(rows: np.ndarray, k: int):
+def _grid_sort(rows, k: int):
+    """Grid build + payload reorder. ``rows`` on device -> everything
+    (bin, argsort, reorder, pos4 packing) stays on device; host ndarray
+    -> the original exact-f64 host path (CPU/tests)."""
+    on_device = isinstance(rows, jax.Array) and not isinstance(rows, np.ndarray)
+    if on_device and rows.shape[0] == 0:
+        rows = np.zeros((0, PHOTON_ROW), np.float32)
+        on_device = False
+    if on_device:
+        n = rows.shape[0]
+        static, tabs = build_photon_grid(rows[:, 0:3], k=k)
+        sorted_rows = jnp.take(rows, tabs["order"], axis=0)
+        pos4 = jnp.zeros((n, 4), jnp.float32).at[:, :3].set(sorted_rows[:, 0:3])
+        pos4_2 = jnp.take(pos4, tabs["map2"], axis=0)
+        return static, {
+            "starts": tabs["starts"],
+            "starts2": tabs["starts2"],
+            "map2": tabs["map2"],
+            "rows": sorted_rows,
+            "pos4": pos4,
+            "pos4_2": pos4_2,
+        }
     static, tabs = build_photon_grid(rows[:, 0:3], k=k)
     order = np.asarray(tabs["order"])
     map2 = np.asarray(tabs["map2"])
@@ -363,6 +399,7 @@ def build_photon_map(scene, tables, surface_rows: np.ndarray, volume_rows: np.nd
         data.n_spheres = nv
     elif kind == BEAM_BEAM:
         # thin volume photons to 0.1% with power x1000 (photon.rs:773-793)
+        volume_rows = np.asarray(volume_rows)  # host logic below
         keep = rng.random(len(volume_rows)) < BEAM_THIN
         b = volume_rows[keep]
         if len(b) == 0:

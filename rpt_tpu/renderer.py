@@ -215,14 +215,17 @@ class Renderer:
         key = jax.random.key(self.seed_)
         print("Shooting photons")
         t0 = _time.perf_counter()
-        surface, volume = ph.shoot_photons(
+        surface, volume = ph.shoot_photons_device(
             scene, scene.tables, jax.random.fold_in(key, 1), photon_count,
             self.watts_, kind,
         )
+        jax.block_until_ready((surface, volume))
         t_shoot = _time.perf_counter() - t0
         print(f"PhotonList(surface: {len(surface)}, volume: {len(volume)})")
         for name, rows in (("surface", surface), ("vol", volume)):
-            avg = float(np.linalg.norm(rows[:, 6:9], axis=1).mean()) if len(rows) else float("nan")
+            # mean |power| computed on device; only the scalar crosses
+            avg = (float(jnp.linalg.norm(rows[:, 6:9], axis=1).mean())
+                   if len(rows) else float("nan"))
             print(f"{name} avg: {avg}")
 
         print("Building kdtree")

@@ -127,3 +127,51 @@ def test_volumetric_photon_renders(method):
     img = getattr(r, method)(3000)
     assert img.shape == (12, 16, 3)
     assert np.isfinite(img.astype(np.float64)).all()
+
+
+def test_device_grid_build_agrees():
+    """The device-side grid build (jnp bin/argsort/map, f32 binning) must
+    agree with the exact-f64 host path at the k-NN RESULT level: same
+    neighbor sets for ~all queries (photons within f32 eps of a cell
+    boundary may shift windows by one boundary photon)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    # clustered cloud + strays — the shape the two-level grid exists for
+    dense = rng.normal(0.0, 0.05, (30000, 3))
+    strays = rng.uniform(-3.0, 3.0, (2000, 3))
+    pos = np.concatenate([dense, strays]).astype(np.float32)
+    k = 24
+
+    st_h, tabs_h = build_photon_grid(pos, k=k)
+    st_d, tabs_d = build_photon_grid(jnp.asarray(pos), k=k)
+
+    # same calibration outcome (both calibrate on host samples)
+    assert st_h.dims == st_d.dims and abs(st_h.h - st_d.h) < 1e-9
+
+    # compare k-NN neighbor SETS through the full query path
+    def knn_sets(static, tabs):
+        order = np.asarray(tabs["order"])
+        srows = pos[order]
+        pos4 = np.zeros((len(pos), 4), np.float32)
+        pos4[:, :3] = srows
+        t = {
+            "starts": tabs["starts"], "starts2": tabs["starts2"],
+            "map2": tabs["map2"], "pos4": jnp.asarray(pos4),
+            "pos4_2": jnp.asarray(pos4)[np.asarray(tabs["map2"])],
+        }
+        q = rng2 = pos[:: len(pos) // 256][:256]
+        query = Vec3(jnp.asarray(q[:, 0]), jnp.asarray(q[:, 1]),
+                     jnp.asarray(q[:, 2]))
+        idx, d2, valid = knn_query(static, t, t["pos4"], query, k)
+        idx = np.asarray(idx)
+        out = []
+        for i in range(len(q)):
+            ids = order[idx[i][np.asarray(valid)[i]]]
+            out.append(frozenset(int(j) for j in ids))
+        return out
+
+    sets_h = knn_sets(st_h, tabs_h)
+    sets_d = knn_sets(st_d, tabs_d)
+    same = sum(a == b for a, b in zip(sets_h, sets_d))
+    assert same >= int(0.995 * len(sets_h)), f"{same}/{len(sets_h)} agree"
