@@ -86,6 +86,28 @@ def get_l1(scene, tables, sample_index: int):
     return np.asarray(o), np.asarray(d), np.asarray(ok)
 
 
+def get_l0_rays(scene, tables, sample_index: int):
+    """The level-0 camera rays matching get_l1's derivation (same jitter
+    stream), as host (o, d) arrays."""
+    camera = rpt.Camera.look_at((-2.5, 4.0, 6.5), (0, 0, 0), (0, 1, 0), math.pi / 6)
+    W = H = 512
+    n = W * H
+    dim = float(max(W, H))
+    xn_np, yn_np, pixel_ids, _ = _pixel_grid(W, H)
+    key = jax.random.key(0)
+    pix_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        jnp.asarray(pixel_ids, jnp.int32)
+    )
+    keys = sampling.fold(pix_keys, jnp.asarray(sample_index, jnp.int32))
+    jx = sampling.uniform(sampling.fold(keys, 1), -1.0 / dim, 1.0 / dim)
+    jy = sampling.uniform(sampling.fold(keys, 2), -1.0 / dim, 1.0 / dim)
+    ray0 = camera.cast_ray(
+        jnp.asarray(xn_np, DTYPE) + jx, jnp.asarray(yn_np, DTYPE) + jy,
+        sampling.fold(keys, 3),
+    )
+    return np.asarray(ray0.origin.to_array()), np.asarray(ray0.dir.to_array())
+
+
 def main():
     scene = bench.build_scene().compile()
     tables = scene.tables

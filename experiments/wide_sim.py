@@ -206,7 +206,7 @@ def main():
         (8, 12, 8, 10),
     ]:
         t0 = time.time()
-        tree, depth = pack_wide_cluster_tree(bb_lo, bb_hi, tri_counts, wide=wide)
+        tree, depth, _top = pack_wide_cluster_tree(bb_lo, bb_hi, tri_counts, wide=wide)
         visits, tests, phases, best = simulate_wide(
             tree.astype(np.float64), wide, oL, dL, t_min, fat, D, T, SLOTS
         )

@@ -83,6 +83,11 @@ class ClusterTables:
     tree: jax.Array
     n_clusters: int = field(default=0, metadata=dict(static=True))
     tree_depth: int = field(default=8, metadata=dict(static=True))
+    # number of INTERNAL children of the wide root; BFS packing places
+    # them at rows 1..tree_top — the deferred traversal's dense top-seed
+    # phase broadcasts those static row slices against the whole
+    # wavefront instead of gathering them per lane (deferred.py)
+    tree_top: int = field(default=0, metadata=dict(static=True))
 
 SUPER_CLUSTERS = 64  # clusters per super-sphere
 
@@ -315,7 +320,8 @@ def pack_wide_cluster_tree(bb_lo, bb_hi, tri_counts, wide: int = WIDE):
                         depth[ci] = depth[wi] + 1
                         changed = True
     stack_depth = max(8, int(-(-(int(depth.max()) + 2) // 8) * 8))
-    return rows, stack_depth
+    top_internal = sum(1 for c in rows_children[0] if internal[c])
+    return rows, stack_depth, top_internal
 
 
 def pack_cluster_bvh(bb_lo, bb_hi, tri_counts):

@@ -73,6 +73,9 @@ MIN_STAGE = 4096  # narrowest ladder stage
 # for finished lanes, so overshoot only costs (K-1) wasted cheap steps.
 UNROLL_WIDTH = int(os.environ.get("RPT_TPU_UNROLL_WIDTH", "32768"))
 UNROLL_K = int(os.environ.get("RPT_TPU_UNROLL_K", "4"))
+# Dense top-of-tree seeding (zero-gather broadcast tests of the top two
+# row-levels; see _dense_top_seed)
+TOP_SEED = os.environ.get("RPT_TPU_TOP_SEED", "1") == "1"
 
 
 def _tree_wide(tree) -> int:
@@ -148,6 +151,109 @@ def _pending_mask(state, limit_u, any_hit):
     if ah is not None:
         pend &= ~(ah & (best_u < limit_u))
     return pend
+
+
+def _broadcast_row_test(row, o3w, inv3w, t_min, cutoff, live, wide):
+    """_wide_row_test for ONE static row slice broadcast against the
+    wavefront — zero gathers. ``row`` is a (8W,) device vector."""
+    n = o3w.shape[0]
+    w3 = 3 * wide
+    t1 = (row[None, 0:w3] - o3w) * inv3w
+    t2 = (row[None, w3 : 2 * w3] - o3w) * inv3w
+    lo = jnp.minimum(t1, t2)
+    hi = jnp.maximum(t1, t2)
+    lo = jnp.where(jnp.isnan(lo), -INF, lo)
+    hi = jnp.where(jnp.isnan(hi), INF, hi)
+    enter = lo.reshape(n, 3, wide).max(1)
+    exit_ = hi.reshape(n, 3, wide).min(1)
+    ptr = row[6 * wide : 7 * wide].astype(jnp.int32)[None, :]
+    meta = row[7 * wide : 8 * wide].astype(jnp.int32)[None, :]
+    slot8 = jax.lax.broadcasted_iota(jnp.int32, (n, wide), 1)
+    hit = (
+        (enter <= exit_)
+        & (exit_ >= t_min)
+        & (enter <= cutoff[:, None])
+        & (meta >= 0)
+        & live[:, None]
+    )
+    return enter, ptr, meta, hit, slot8
+
+
+def _dense_top_seed(tree, top_internal, uray, inv_dir, t_min, limit_u,
+                    best_u0, active, depth):
+    """Consume the top TWO wide-row levels with ZERO gathers.
+
+    Rows 0..top_internal are static slices (BFS packing puts the root's
+    internal children at rows 1..top_internal), so their slab tests
+    broadcast against the whole wavefront — the per-lane gather wall
+    (~12 ns/lane/row) only starts at level 2. Every lane used to spend
+    1 + (entered L1 rows) ≈ 3+ of its ~10 lock-step gather steps here.
+
+    Seeds the traversal state: per entered L1 row, a DIRECT stack entry
+    for its nearest internal child (full mask — its row is gathered on
+    pop as usual) plus one parent-rest entry for the remaining hit
+    children (re-gathered only when popped); root leaf children become a
+    root-rest entry. Entries are per-lane sorted far-to-near so pops
+    stay nearest-first. Exact: every hit child at seed time is covered
+    by exactly one entry, and pops re-apply the live cutoff."""
+    n = uray.origin.shape[0]
+    wide = _tree_wide(tree)
+    full = (1 << wide) - 1
+    o3w = _rep3(uray.origin, wide)
+    inv3w = _rep3(inv_dir, wide)
+    cutoff = jnp.minimum(best_u0, limit_u)
+
+    entries_e = []  # per-lane sort key: enter distance (-INF = no entry)
+    entries_v = []  # packed (row << W) | mask
+    NEG = jnp.float32(-INF)
+
+    e0, p0, m0, h0, slot8 = _broadcast_row_test(
+        tree[0], o3w, inv3w, t_min, cutoff, active, wide
+    )
+    leaf0 = h0 & (m0 > 0)
+    bits0 = jnp.sum(jnp.where(leaf0, 1 << slot8, 0), axis=1)
+    e_leaf0 = jnp.min(jnp.where(leaf0, e0, INF), axis=1)
+    entries_e.append(jnp.where(bits0 != 0, e_leaf0, NEG))
+    entries_v.append(bits0)  # (0 << wide) | bits0
+
+    int0 = h0 & (m0 == 0)
+    for r in range(1, top_internal + 1):
+        par = int0 & (p0 == r)
+        par_hit = jnp.any(par, axis=1)
+        er, pr, mr, hr, slot8 = _broadcast_row_test(
+            tree[r], o3w, inv3w, t_min, cutoff, par_hit, wide
+        )
+        int_r = hr & (mr == 0)
+        ei = jnp.where(int_r, er, INF)
+        ni = jnp.argmin(ei, axis=1).astype(jnp.int32)
+        has_int = jnp.any(int_r, axis=1)
+        near_ptr = jnp.sum(jnp.where(slot8 == ni[:, None], pr, 0), axis=1)
+        near_e = jnp.min(ei, axis=1)
+        entries_e.append(jnp.where(has_int, near_e, NEG))
+        entries_v.append((near_ptr << wide) | full)
+        rest = hr & ~(int_r & (slot8 == ni[:, None]))
+        rest_bits = jnp.sum(jnp.where(rest, 1 << slot8, 0), axis=1)
+        rest_e = jnp.min(jnp.where(rest, er, INF), axis=1)
+        entries_e.append(jnp.where(rest_bits != 0, rest_e, NEG))
+        entries_v.append((r << wide) | rest_bits)
+
+    E = jnp.stack(entries_e, axis=1)  # (n, M)
+    V = jnp.stack(entries_v, axis=1).astype(jnp.int32)
+    M = E.shape[1]
+    order = jnp.argsort(-E, axis=1)  # valid far->near, then -INF tail
+    Vs = jnp.take_along_axis(V, order, axis=1)
+    v_count = jnp.sum(E > NEG, axis=1).astype(jnp.int32)
+    top_i = jnp.maximum(v_count - 1, 0)
+    cur = jnp.where(
+        v_count > 0,
+        jnp.take_along_axis(Vs, top_i[:, None], axis=1)[:, 0],
+        -1,
+    )
+    sp = jnp.maximum(v_count - 1, 0)
+    stack = jnp.concatenate(
+        [Vs, jnp.zeros((n, depth), jnp.int32)], axis=1
+    )
+    return cur, sp, stack
 
 
 def _make_descent_step(tree, ray, inv_dir, t_min, limit_u):
@@ -437,10 +543,24 @@ def deferred_traverse(ct: ClusterTables, ray: Ray, t_min, limit, best_time,
     inv_dir = Vec3.ones(dn.shape) / dn
     depth = ct.tree_depth
 
+    if TOP_SEED and n >= MIN_STAGE and ct.tree_top > 0:
+        # consume the top two row-levels densely (zero gathers)
+        cur0, sp0, stack0 = _dense_top_seed(
+            ct.tree, ct.tree_top, uray, inv_dir, t_min, limit_u, best_u0,
+            active, depth,
+        )
+    else:
+        cur0 = jnp.where(
+            active, (1 << _tree_wide(ct.tree)) - 1, -1
+        ).astype(jnp.int32)  # cur = root | full mask
+        sp0 = jnp.zeros(n, jnp.int32)
+        stack0 = jnp.zeros((n, depth), jnp.int32)
+
+    depth = stack0.shape[1]  # seeded stacks are wider than tree_depth
     state = (
-        jnp.where(active, (1 << _tree_wide(ct.tree)) - 1, -1).astype(jnp.int32),  # cur = root | full mask
-        jnp.zeros(n, jnp.int32),                          # sp
-        jnp.zeros((n, depth), jnp.int32),                 # stack
+        cur0,                                             # cur
+        sp0,                                              # sp
+        stack0,                                           # stack
         best_u0,                                          # best_u
         jnp.full(n, -1, jnp.int32),                       # pack
         jnp.full((n, CAND_SLOTS), INF, DTYPE),            # cand_t

@@ -241,12 +241,12 @@ def compile_scene(scene: Scene) -> CompiledScene:
             # (PERF.md) but cuts node visits ~15% and phases ~8% on
             # incoherent wavefronts (experiments/wide_sim.py); width is
             # sweepable via RPT_TPU_TREE_WIDE
-            ctree, ctree_depth = pack_wide_cluster_tree(bb_lo, bb_hi, tri_counts)
+            ctree, ctree_depth, ctree_top = pack_wide_cluster_tree(bb_lo, bb_hi, tri_counts)
             tables["clusters"] = ClusterTables(
                 fat=jnp.asarray(fat), sph=jnp.asarray(sph),
                 rec=jnp.asarray(rec), sup=jnp.asarray(sup),
                 supblk=jnp.asarray(supblk), tree=jnp.asarray(ctree),
-                n_clusters=n_c, tree_depth=ctree_depth,
+                n_clusters=n_c, tree_depth=ctree_depth, tree_top=ctree_top,
             )
 
     compiled_lights = []
