@@ -63,14 +63,19 @@ def test_sharded_photon_shooting():
     cs = scene.compile()
 
     key = jax.random.key(0)
-    s1, v1 = ph.shoot_photons(cs, cs.tables, key, 2000, 100.0, ph.PHOTON_MAP)
+    n_ph = 20_000  # enough photons that the MC tolerance below is tight
+    s1, v1 = ph.shoot_photons(cs, cs.tables, key, n_ph, 100.0, ph.PHOTON_MAP)
     mesh = make_mesh(8, sp=2)
-    s8, v8 = shoot_photons_sharded(cs, key, 2000, 100.0, ph.PHOTON_MAP, mesh)
-    # statistically equivalent deposit counts and energy
-    assert abs(len(s8) - len(s1)) / max(len(s1), 1) < 0.35
+    s8, v8 = shoot_photons_sharded(cs, key, n_ph, 100.0, ph.PHOTON_MAP, mesh)
+    # single-device and sharded runs use different RNG streams, so deposit
+    # counts/energy agree statistically; at 20k photons the relative MC
+    # error of these sums is ~1%, so 8% catches any systematic factor
+    # (double-count, missing shard, wrong power split). The bitwise test
+    # below pins the sharding math itself.
+    assert abs(len(s8) - len(s1)) / max(len(s1), 1) < 0.08
     e1 = np.linalg.norm(s1[:, 6:9], axis=1).sum()
     e8 = np.linalg.norm(s8[:, 6:9], axis=1).sum()
-    assert abs(e8 - e1) / e1 < 0.35
+    assert abs(e8 - e1) / e1 < 0.08
 
 
 def test_sharded_photon_shooting_exact_rows():
