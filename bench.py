@@ -34,6 +34,49 @@ MAX_BOUNCES = 2
 TARGET_MRAYS = 100.0
 
 
+def check_backend(timeout_s: float | None = None, op=None) -> float:
+    """Watchdog the first device op against a hung backend init.
+
+    The axon TPU plugin's initialization can hang indefinitely during
+    tunnel outages (BENCH_r03 sat 880+ s with zero output). Run a tiny
+    device op in a worker thread with a deadline; on timeout or error,
+    emit ONE machine-readable JSON line and exit rc=2 fast so a driver
+    capture is a diagnosable "backend unavailable" record instead of an
+    rc=124 mystery. Returns the probe's elapsed seconds on success.
+
+    ``timeout_s``/``op`` are injection points for the outage-simulation
+    test (tests/test_graft_entry.py / test_bench_watchdog).
+    """
+    import threading
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("RPT_TPU_BACKEND_TIMEOUT", "120"))
+    done = threading.Event()
+    errors: list[BaseException] = []
+
+    def _probe():
+        try:
+            if op is None:
+                x = jax.device_put(np.ones((8,), np.float32))
+                np.asarray(x)  # full host->device->host round trip
+            else:
+                op()
+        except BaseException as e:  # noqa: BLE001 - reported, not swallowed
+            errors.append(e)
+        finally:
+            done.set()
+
+    t0 = time.perf_counter()
+    threading.Thread(target=_probe, daemon=True).start()
+    ok = done.wait(timeout_s)
+    if not ok or errors:
+        detail = repr(errors[0]) if errors else f"device probe hung >{timeout_s:.0f}s"
+        print(json.dumps({"error": "backend_unavailable", "detail": detail}))
+        sys.stderr.write(f"# backend watchdog tripped: {detail}\n")
+        sys.exit(2)
+    return time.perf_counter() - t0
+
+
 def load_dragon_mesh():
     path = os.path.join(os.path.dirname(__file__), "data", "dragon.obj")
     if os.path.exists(path):
@@ -76,6 +119,8 @@ def build_scene() -> rpt.Scene:
 
 
 def main():
+    probe_s = check_backend()
+    sys.stderr.write(f"# backend probe ok in {probe_s:.1f}s\n")
     t_setup = time.time()
     scene = build_scene().compile()
     camera = rpt.Camera.look_at(
