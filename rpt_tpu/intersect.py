@@ -204,13 +204,40 @@ def intersect_cubes(prims: PrimSet, ray: Ray, t_min, best: Hit) -> Hit:
 
 def intersect_planes(planes: PlaneSet, ray: Ray, t_min, best: Hit) -> Hit:
     """x . normal = value (shape/plane.rs:17-32); normal flipped against the
-    ray."""
+    ray.
+
+    f32 deviation: the reference rejects near-parallel rays with
+    ``|cosine| < 1e-8`` (plane.rs:19-22), which in f64 also rejects every
+    ray that *starts on* the plane and travels along it (its direction
+    noise is ~1e-16). In f32 that noise is ~1e-7..1e-4 — above 1e-8 — so
+    a grazing ray between two points on the plane computed t = tiny/tiny,
+    a random value in (t_min, dist): 27% of floor-photon visibility
+    rechecks (photon.rs:353-361) were spuriously "occluded" by the very
+    plane both endpoints sat on. An origin numerically ON the plane can
+    never be legitimately occluded by that plane (an infinite plane is
+    re-hit only at t=0), so reject when |value - n.o| is within f32
+    rounding. The threshold scale is the L1 magnitude of the origin plus
+    |value| — a computed position coordinate carries absolute noise
+    ~eps*||o||, NOT ~eps*|that coordinate| (a floor through 0 has its
+    noise exactly where the normal-weighted component vanishes); see
+    `_origin_on_plane`. Measured floor-photon residuals <= 6 eps*||o||
+    (round-4 repros; triangles get the same guard)."""
 
     def body(i):
         n = planes.normal[i].broadcast_to(ray.origin.shape)
         cosine = n.dot(ray.dir)
-        t = (planes.value[i] - n.dot(ray.origin)) / cosine
-        ok = (jnp.abs(cosine) >= 1e-8) & (t >= t_min)
+        num = planes.value[i] - n.dot(ray.origin)
+        t = num / cosine
+        # the plane normal is NOT normalized (x.normal = value, raw):
+        # weight the origin magnitude by ||n||_1 so num's units match
+        n_l1 = jnp.abs(n.x) + jnp.abs(n.y) + jnp.abs(n.z)
+        scale = n_l1 * (
+            jnp.abs(ray.origin.x)
+            + jnp.abs(ray.origin.y)
+            + jnp.abs(ray.origin.z)
+        ) + jnp.abs(planes.value[i])
+        on_plane = jnp.abs(num) <= (32.0 * jnp.finfo(DTYPE).eps) * scale
+        ok = (jnp.abs(cosine) >= 1e-8) & (t >= t_min) & ~on_plane
         normal = -n.normalize() * jnp.sign(cosine)
         mat = jnp.broadcast_to(planes.material[i], jnp.shape(t)).astype(jnp.int32)
         return Hit(jnp.where(ok, t, INF), normal, mat)
@@ -317,6 +344,29 @@ def _aabb_interval(ray: Ray, p_min: Vec3, p_max: Vec3):
 # Triangle BVH traversal
 
 
+def _origin_on_plane(num, pn, v1, o):
+    """True where the ray origin lies within f32 rounding of a triangle's
+    supporting plane (same f32 deviation as `intersect_planes`, which see:
+    the reference's |cosine|>=1e-8 guard only rejects on-plane grazing
+    rays under f64 noise levels). A grazing ray between two points ON a
+    mesh floor computed t = tiny/tiny — 50.7% of noisy floor-photon
+    visibility rechecks (photon.rs:353-361) were spuriously self-occluded
+    (repro: round-4 /tmp/tri_graze_repro2.py). ``num = pn.(v1-o)`` with
+    pn normalized.
+
+    Threshold scale: the absolute f32 error of a COMPUTED position
+    coordinate is ~eps x the magnitude of the computation that produced
+    it (ray.at sums scale-of-scene products), NOT eps x that coordinate —
+    a photon on a floor at y=0 has y-noise ~eps*||o||, so the scale must
+    be the L1 magnitude of the points, never the normal-weighted
+    components (which vanish exactly where the noise lives)."""
+    scale = (
+        jnp.abs(o.x) + jnp.abs(o.y) + jnp.abs(o.z)
+        + jnp.abs(v1.x) + jnp.abs(v1.y) + jnp.abs(v1.z)
+    )
+    return jnp.abs(num) <= (32.0 * jnp.finfo(DTYPE).eps) * scale
+
+
 def _leaf_intersect(leaves, do_leaf, leaf_idx, count, ray, t_min, time, tri, bu, bv, bw):
     """Gather one leaf row per lane (masked) and test its 8 triangles."""
     leaf = jnp.take(leaves, jnp.where(do_leaf, leaf_idx, 0), axis=0)  # (n, 80)
@@ -353,10 +403,12 @@ def _leaf_rows_test(leaf, do_leaf, count, ray, t_min, time, tri, bu, bv, bw):
 
     pn = e1.cross(e2).normalize()
     cosine = pn.dot(d)
-    t = pn.dot(v1 - o) / cosine
+    num = pn.dot(v1 - o)
+    t = num / cosine
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
     ok = (
         (jnp.abs(cosine) >= 1e-8)
+        & ~_origin_on_plane(num, pn, v1, o)
         & (t >= t_min)
         & (t < bcast(time))
         & (tri_id >= 0)

@@ -142,10 +142,14 @@ def _tile_tri_test(fat_rows, o, dn, t_min, limit, best_t, best_pack, cid,
 
     pn = e1.cross(e2).normalize()
     cosine = pn.dot(dv)
-    t = pn.dot(v1 - ov) / cosine
+    num = pn.dot(v1 - ov)
+    t = num / cosine
     # padding slots are all-zero rows -> pn = 0 -> cosine = 0 -> rejected
+    from .intersect import _origin_on_plane
+
     ok = (
         (jnp.abs(cosine) >= 1e-8)
+        & ~_origin_on_plane(num, pn, v1, ov)
         & (t >= t_min)
         & (t < rr(jnp.minimum(best_t, limit)))
         & rr(test_mask)

@@ -3,6 +3,7 @@ reference has no such tests; formulas cite shape/*.rs)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import rpt_tpu as rpt
 from rpt_tpu.intersect import closest_hit
@@ -151,3 +152,81 @@ def test_bvh_matches_brute_force():
     both_hit = np.isfinite(t_ref) & np.isfinite(t_bvh)
     assert (np.isfinite(t_ref) == np.isfinite(t_bvh)).mean() > 0.995
     assert np.allclose(t_ref[both_hit], t_bvh[both_hit], rtol=2e-3, atol=2e-3)
+
+
+def _floor_graze_case(n_tris_side):
+    """Noisy on-floor endpoint pairs: photons deposited ON a mesh floor
+    carry ~eps*||o|| of off-plane noise, making photon->gather-point
+    visibility rays graze their own floor. The f32 transliteration of the
+    reference's |cosine| >= 1e-8 guard (mesh.rs:50-83 via plane.rs:19-22)
+    computed t = tiny/tiny on such rays — 50.7% spurious self-occlusion
+    measured before the _origin_on_plane guard (round 4)."""
+    L = 10.0
+    xs = np.linspace(0.0, L, n_tris_side + 1)
+    quads = []
+    for i in range(n_tris_side):
+        for j in range(n_tris_side):
+            a = (xs[i], 0.0, xs[j])
+            b = (xs[i], 0.0, xs[j + 1])
+            c = (xs[i + 1], 0.0, xs[j + 1])
+            d = (xs[i + 1], 0.0, xs[j])
+            quads += [[a, b, c], [a, c, d]]
+    scene = rpt.Scene()
+    scene.add(rpt.Object(rpt.Mesh(np.array(quads, float))).material(
+        rpt.Material.diffuse((0.7,) * 3)))
+    cs = scene.compile()
+
+    rng = np.random.default_rng(3)
+    m = 4096
+    def pts():
+        return np.stack([
+            rng.uniform(0.5, L - 0.5, m),
+            rng.normal(0.0, 2e-6, m),  # realistic deposited-position noise
+            rng.uniform(0.5, L - 0.5, m),
+        ], 1)
+    a, b = pts(), pts()
+    disp = b - a
+    dist = np.linalg.norm(disp, axis=1)
+    return cs, _ray(a, disp), dist
+
+
+@pytest.mark.parametrize("n_side", [1, 32])  # dense path / BVH leaf path
+def test_floor_photon_pairs_not_self_occluded(n_side):
+    from rpt_tpu.intersect import occluded
+
+    cs, ray, dist = _floor_graze_case(n_side)
+    limit = jnp.asarray(dist * (1.0 - 1e-3), jnp.float32)
+    occ = np.asarray(occluded(cs, cs.tables, ray, limit, coherent=False))
+    assert occ.mean() == 0.0, f"{occ.mean():.1%} spurious floor self-occlusion"
+
+
+def test_on_plane_guard_keeps_legit_occluders():
+    """The guard must not reject REAL hits: rays starting just above the
+    floor pointing down through it must still be occluded, and rays from
+    the floor toward a blocking wall must still see the wall."""
+    from rpt_tpu.intersect import occluded
+
+    L = 10.0
+    floor = [[(0, 0, 0), (0, 0, L), (L, 0, L)], [(0, 0, 0), (L, 0, L), (L, 0, 0)]]
+    wall = [[(5, -1, 0), (5, -1, L), (5, 2, L)], [(5, -1, 0), (5, 2, L), (5, 2, 0)]]
+    scene = rpt.Scene()
+    scene.add(rpt.Object(rpt.Mesh(np.array(floor + wall, float))).material(
+        rpt.Material.diffuse((0.7,) * 3)))
+    cs = scene.compile()
+
+    m = 256
+    rng = np.random.default_rng(5)
+    # (a) from 2 cm above the floor (the scene t_min is scale-derived,
+    # ~3e-3 here), straight down: must hit the floor
+    o = np.stack([rng.uniform(1, 9, m), np.full(m, 2e-2), rng.uniform(1, 9, m)], 1)
+    d = np.tile([[0.0, -1.0, 0.0]], (m, 1))
+    occ = np.asarray(occluded(cs, cs.tables, _ray(o, d),
+                              jnp.full(m, 1.0, jnp.float32), coherent=False))
+    assert occ.all()
+    # (b) from ON the floor (left of the wall), horizontally across it:
+    # the wall at x=5 must occlude even though the origin sits on the floor
+    o2 = np.stack([rng.uniform(1, 4, m), rng.normal(0, 2e-6, m), rng.uniform(1, 9, m)], 1)
+    d2 = np.tile([[1.0, 0.0, 0.0]], (m, 1))
+    occ2 = np.asarray(occluded(cs, cs.tables, _ray(o2, d2),
+                               jnp.full(m, 8.0, jnp.float32), coherent=False))
+    assert occ2.all()
