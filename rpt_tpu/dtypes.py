@@ -21,11 +21,37 @@ if _F64:
 
 # Persistent compilation cache: scene/shape changes retrigger XLA compiles
 # that take minutes on TPU toolchains; cache them across processes.
+#
+# CPU runs (tests, multichip dryrun) get a cache dir KEYED BY THE HOST CPU
+# FEATURE SET: XLA:CPU AOT entries embed the compile machine's ISA, and
+# the home directory outlives the VM — entries written by a previous
+# round's machine would load on a host missing those features with only a
+# warning ("could lead to execution errors such as SIGILL"). (NB: the
+# loader also warns about +prefer-no-scatter/+prefer-no-gather on
+# SAME-machine entries — those are LLVM tuning flags absent from runtime
+# feature detection; benign.) The TPU dir stays fingerprint-free (TPU
+# executables don't depend on host ISA; losing that cache re-costs
+# ~15 min of dragon-bench compile).
 if os.environ.get("RPT_TPU_NO_COMPILE_CACHE", "0") != "1":
-    _cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "rpt_tpu_xla"),
-    )
+    _cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if _cache_dir is None:
+        _cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "rpt_tpu_xla")
+        try:
+            _platforms = jax.config.jax_platforms or ""
+        except Exception:  # pragma: no cover
+            _platforms = ""
+        if _platforms.startswith("cpu"):
+            import hashlib
+
+            try:
+                with open("/proc/cpuinfo") as _f:
+                    _flags = next((l for l in _f if l.startswith("flags")), "")
+            except OSError:  # pragma: no cover - non-linux
+                _flags = ""
+            _fp = hashlib.sha1(
+                (_flags + jax.__version__).encode()
+            ).hexdigest()[:10]
+            _cache_dir = f"{_cache_dir}_cpu_{_fp}"
     try:
         os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
