@@ -89,24 +89,55 @@ def main():
             with open(os.path.join(workdir, "stderr.txt"), "w") as f:
                 f.write(tail)
 
-    with open(os.path.join(OUT, "results.json"), "w") as f:
-        json.dump(dict(scale=args.scale, samples=args.samples,
-                       results=results), f, indent=1)
+    merged = write_index(results, scale=args.scale, samples=args.samples,
+                         photons=args.photons)
+    n_ok = sum(r["ok"] for r in results)
+    print(f"\n{n_ok}/{len(results)} examples rendered "
+          f"({len(merged)} total in index) -> {OUT}")
+
+
+def write_index(new_results, scale=4, samples=16, photons=200_000):
+    """MERGE ``new_results`` into gallery/results.json (keyed by example
+    name — a partial --only re-render must never drop the other rows; the
+    round-3 overwrite shrank the 29-row index to 2) and regenerate
+    README.md from the merged set."""
+    path = os.path.join(OUT, "results.json")
+    old = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                for r in json.load(f).get("results", []):
+                    old[r["name"]] = r
+        except (json.JSONDecodeError, KeyError):
+            pass
+    for r in new_results:
+        old[r["name"]] = r
+    merged = [old[k] for k in sorted(old)]
+    with open(path, "w") as f:
+        json.dump(dict(scale=scale, samples=samples, results=merged),
+                  f, indent=1)
 
     with open(os.path.join(OUT, "README.md"), "w") as f:
         f.write("# Example gallery (real TPU renders)\n\n")
-        f.write(f"Preview scale 1/{args.scale}, {args.samples} spp cap, "
-                f"photon cap {args.photons}. Wall time includes XLA "
-                "compilation (first run is compile-dominated).\n\n")
+        f.write(
+            "Every image below was rendered on one TPU v5e chip by the\n"
+            "corresponding driver under `examples/` (preview scale "
+            f"1/{scale}, {samples} spp cap, photon cap {photons}; the\n"
+            "drivers' full-resolution parameters match the reference's).\n"
+            "Wall time includes XLA compilation where recorded (first run\n"
+            "is compile-dominated). Photon drivers that the reference\n"
+            "ships with `watts=100` render near-black by design — see\n"
+            "PARITY.md.\n\n"
+        )
         f.write("| example | status | wall (s) | images |\n|---|---|---|---|\n")
-        for r in results:
+        for r in merged:
             imgs = " ".join(
                 f"![{i}]({r['name']}/{i})" for i in r["images"][:3]
             )
+            wall = r.get("wall_s", "—")
             f.write(f"| {r['name']} | {'✅' if r['ok'] else '❌'} | "
-                    f"{r['wall_s']} | {imgs} |\n")
-    n_ok = sum(r["ok"] for r in results)
-    print(f"\n{n_ok}/{len(results)} examples rendered -> {OUT}")
+                    f"{wall} | {imgs} |\n")
+    return merged
 
 
 if __name__ == "__main__":

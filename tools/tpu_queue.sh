@@ -1,0 +1,31 @@
+#!/bin/bash
+# Measurement queue for when the TPU returns. Run serially — the chip is
+# single-tenant; overlapping runs hang each other (CLAUDE.md).
+# Order = expected value: green BENCH artifact first, then the queued
+# round-3/4 claims (top-seed, device-resident photon, CLUSTER_TRIS
+# sweep), then the full gallery re-render with wall times.
+set -x
+cd /root/repo
+mkdir -p /tmp/tpu_results
+
+# 1. the headline bench (validates the 2.72 claim + top-seed + packed rungs)
+timeout 1800 python bench.py 2>&1 | tee /tmp/tpu_results/bench.txt | tail -2
+
+# 2. dragon closest-hit segment timing (top-seed on/off)
+timeout 900 python experiments/defer_time.py 2>&1 | tee /tmp/tpu_results/defer_topseed.txt | tail -3
+timeout 900 env RPT_TPU_TOP_SEED=0 python experiments/defer_time.py 2>&1 | tee /tmp/tpu_results/defer_notopseed.txt | tail -3
+
+# 3. lampshade photon wall (device-resident shoot/build; VERDICT r2 #4 target <=60 s)
+timeout 1800 python -c "
+import sys, json; sys.path.insert(0, '/root/repo')
+import bench_extra; print(json.dumps(bench_extra.photon_metric()))" 2>&1 | tee /tmp/tpu_results/photon.txt | tail -3
+
+# 4. CLUSTER_TRIS sweep
+timeout 900 env RPT_TPU_CLUSTER_TRIS=16 python experiments/defer_time.py 2>&1 | tee /tmp/tpu_results/defer_ct16.txt | tail -3
+
+# 5. phase splits
+timeout 900 python experiments/two_phase_split.py 2>&1 | tee /tmp/tpu_results/two_phase.txt | tail -6
+timeout 1800 python experiments/trace_split.py 2>&1 | tee /tmp/tpu_results/trace_split.txt | tail -8
+
+# 6. full 29-driver gallery re-render with wall times (VERDICT r3 #7)
+timeout 14400 python tools/gallery.py 2>&1 | tee /tmp/tpu_results/gallery.txt | tail -31
