@@ -58,13 +58,27 @@ def wide_rays(n_side=97):
 
 
 def _assert_exact(big_scene, ray, n):
+    # FRESH jit wrappers per call (never module-level): these tests
+    # monkeypatch trace-time constants (TOP_SEED, CAND_SLOTS, ...), and a
+    # shared jit cache would silently reuse the previous test's trace.
+    # Tables go in as ARGUMENTS, as production calls them — eager calls
+    # embed the 20k-tri tables as HLO constants, whose giant one-off
+    # modules XLA:CPU sporadically segfaulted on (see test_tiled.py).
+    jt = jax.jit(
+        lambda bvh, r, lim, b, ah: _traverse(bvh, r, 1e-4, lim, b, any_hit=ah),
+        static_argnums=(4,),
+    )
+    jd = jax.jit(
+        lambda ct, r, lim, b, ah: deferred.deferred_traverse(
+            ct, r, 1e-4, lim, b, ah
+        ),
+        static_argnums=(4,),
+    )
     bvh = big_scene.tables["bvh"]
     clusters = big_scene.tables["clusters"]
     inf = jnp.full((n,), np.inf, jnp.float32)
-    t_ref, *_ = _traverse(bvh, ray, 1e-4, inf, inf, any_hit=False)
-    t_new, *_ = deferred.deferred_traverse(
-        clusters, ray, 1e-4, jnp.inf, inf, any_hit=False
-    )
+    t_ref, *_ = jt(bvh, ray, inf, inf, False)
+    t_new, *_ = jd(clusters, ray, inf, inf, False)
     t_ref, t_new = np.asarray(t_ref), np.asarray(t_new)
     mask_agree = np.isfinite(t_ref) == np.isfinite(t_new)
     assert mask_agree.all(), f"hit masks differ on {(~mask_agree).sum()} lanes"
@@ -73,10 +87,8 @@ def _assert_exact(big_scene, ray, n):
     np.testing.assert_allclose(t_new[both], t_ref[both], rtol=1e-5, atol=1e-5)
     # occlusion flavor through the same machinery
     limit = jnp.full((n,), 3.2, jnp.float32)
-    t_ao, *_ = _traverse(bvh, ray, 1e-4, limit, inf, any_hit=True)
-    t_an, *_ = deferred.deferred_traverse(
-        clusters, ray, 1e-4, limit, inf, any_hit=True
-    )
+    t_ao, *_ = jt(bvh, ray, limit, inf, True)
+    t_an, *_ = jd(clusters, ray, limit, inf, True)
     np.testing.assert_array_equal(
         np.asarray(t_ao) < 3.2, np.asarray(t_an) < 3.2
     )
@@ -97,7 +109,13 @@ def _stall_count_after_phases(clusters, ray, n, t_min=1e-4):
     """Replay deferred_traverse up to the end of phase B using the
     module's own helpers (deferred.py:546-619) and return how many lanes
     enter the cleanup fixpoint. White-box by design: if the phase
-    structure changes, update this alongside it."""
+    structure changes, update this alongside it. Runs under a fresh jit
+    (tables as arguments) for the same reasons as _assert_exact."""
+    body = jax.jit(lambda ct, r: _stall_body(ct, r, n, t_min))
+    return int(np.asarray(body(clusters, ray)))
+
+
+def _stall_body(clusters, ray, n, t_min):
     dn = ray.dir  # wide_rays directions are unit-length already
     inv_dir = Vec3.ones(dn.shape) / dn
     limit_u = jnp.full((n,), deferred.INF, deferred.DTYPE)
@@ -140,7 +158,7 @@ def _stall_count_after_phases(clusters, ray, n, t_min=1e-4):
     state = deferred._make_prune(limit_u, False)(state)
     cur, _, _, _, _, cand_t, _, done = state
     done = done | ((cur < 0) & ~jnp.any(cand_t < deferred.INF, axis=1))
-    return int(np.asarray(jnp.sum(~done)))
+    return jnp.sum(~done)
 
 
 def test_cleanup_stall_path_exact(big_scene, monkeypatch):

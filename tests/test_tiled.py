@@ -2,15 +2,46 @@
 short-stack traversal: same hits, same occlusion, on a mesh big enough to
 trigger the cluster tables (> CLUSTERS_MIN_TRIS)."""
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
 import rpt_tpu as rpt
-from rpt_tpu.intersect import Hit, bvh_any_hit, bvh_closest_hit
+from rpt_tpu.intersect import Hit, _traverse, bvh_any_hit, bvh_closest_hit
+from rpt_tpu.deferred import deferred_traverse
 from rpt_tpu.ray import Ray
 from rpt_tpu.vec import Vec3
 from rpt_tpu.meshes import displaced_blob
+
+
+# All traversal invocations below go through jit WITH THE TABLES AS
+# ARGUMENTS - exactly how production calls them (inside the megabatch
+# launch the tables are tracers). Calling them eagerly embedded the 20k-tri
+# tables as HLO constants, producing giant one-off modules that XLA:CPU's
+# LLVM sporadically segfaulted on deep into full-suite runs (round 4), and
+# that the persistent cache could never reuse across processes.
+
+@functools.partial(jax.jit, static_argnames=("any_hit",))
+def _jit_traverse(bvh, ray, limit, best, any_hit):
+    return _traverse(bvh, ray, 1e-4, limit, best, any_hit=any_hit)
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit",))
+def _jit_deferred(ct, ray, limit, best, any_hit, active=None):
+    return deferred_traverse(ct, ray, 1e-4, limit, best, any_hit, active=active)
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit",))
+def _jit_bvh_closest(bvh, ray, best, any_hit=False, clusters=None):
+    return bvh_closest_hit(bvh, ray, 1e-4, best, clusters=clusters)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _jit_bvh_any(bvh, ray, limit, clusters=None):
+    return bvh_any_hit(bvh, ray, 1e-4, limit, clusters=clusters)
 
 
 @pytest.fixture(scope="module")
@@ -49,8 +80,8 @@ def test_closest_hit_matches_reference_traversal(big_scene):
     assert n >= 4096  # wide enough for the tile path
 
     best = Hit.none((n,))
-    h_old = bvh_closest_hit(bvh, ray, 1e-4, best)
-    h_new = bvh_closest_hit(bvh, ray, 1e-4, best, clusters=clusters)
+    h_old = _jit_bvh_closest(bvh, ray, best)
+    h_new = _jit_bvh_closest(bvh, ray, best, clusters=clusters)
 
     t_old = np.asarray(h_old.time)
     t_new = np.asarray(h_new.time)
@@ -80,8 +111,8 @@ def test_any_hit_matches_reference_traversal(big_scene):
     ray, n = camera_rays()
     limit = jnp.full((n,), 3.2, jnp.float32)
 
-    occ_old = np.asarray(bvh_any_hit(bvh, ray, 1e-4, limit))
-    occ_new = np.asarray(bvh_any_hit(bvh, ray, 1e-4, limit, clusters=clusters))
+    occ_old = np.asarray(_jit_bvh_any(bvh, ray, limit))
+    occ_new = np.asarray(_jit_bvh_any(bvh, ray, limit, clusters=clusters))
     assert occ_old.sum() > 0 and (~occ_old).sum() > 0
     np.testing.assert_array_equal(occ_old, occ_new)
 
@@ -101,21 +132,13 @@ def test_cluster_cut_covers_every_triangle():
 
 
 def test_deferred_matches_reference_traversal(big_scene):
-    from rpt_tpu.deferred import deferred_traverse
-    from rpt_tpu.intersect import _traverse
-
     bvh = big_scene.tables["bvh"]
     clusters = big_scene.tables["clusters"]
     ray, n = camera_rays()
 
-    t_old, tri_old, *_ = _traverse(
-        bvh, ray, 1e-4, jnp.full((n,), np.inf, jnp.float32),
-        jnp.full((n,), np.inf, jnp.float32), any_hit=False,
-    )
-    t_new, tri, u, v, w = deferred_traverse(
-        clusters, ray, 1e-4, jnp.inf, jnp.full((n,), np.inf, jnp.float32),
-        any_hit=False,
-    )
+    inf = jnp.full((n,), np.inf, jnp.float32)
+    t_old, tri_old, *_ = _jit_traverse(bvh, ray, inf, inf, any_hit=False)
+    t_new, tri, u, v, w = _jit_deferred(clusters, ray, inf, inf, any_hit=False)
     t_old = np.asarray(t_old)
     t_new = np.asarray(t_new)
     # deferred_traverse is exact by design: hit masks must agree on EVERY
@@ -128,31 +151,24 @@ def test_deferred_matches_reference_traversal(big_scene):
 
 
 def test_deferred_any_hit_and_active_mask(big_scene):
-    from rpt_tpu.deferred import deferred_traverse
-    from rpt_tpu.intersect import _traverse
-
     bvh = big_scene.tables["bvh"]
     clusters = big_scene.tables["clusters"]
     ray, n = camera_rays()
     limit = jnp.full((n,), 3.2, jnp.float32)
 
-    t_old, *_ = _traverse(
-        bvh, ray, 1e-4, limit, jnp.full((n,), np.inf, jnp.float32),
-        any_hit=True,
-    )
+    inf = jnp.full((n,), np.inf, jnp.float32)
+    t_old, *_ = _jit_traverse(bvh, ray, limit, inf, any_hit=True)
     occ_old = np.asarray(t_old) < 3.2
-    t_new, *_ = deferred_traverse(
-        clusters, ray, 1e-4, limit, jnp.full((n,), np.inf, jnp.float32),
-        any_hit=True,
-    )
+    t_new, *_ = _jit_deferred(clusters, ray, limit, inf, any_hit=True)
     occ_new = np.asarray(t_new) < 3.2
     np.testing.assert_array_equal(occ_old, occ_new)
 
     # masked lanes must return their input best untouched
     active = jnp.asarray(np.arange(n) % 3 != 0)
     best_in = jnp.full((n,), 7.5, jnp.float32)
-    t_m, tri_m, *_ = deferred_traverse(
-        clusters, ray, 1e-4, jnp.inf, best_in, any_hit=False, active=active,
+    t_m, tri_m, *_ = _jit_deferred(
+        clusters, ray, jnp.full((n,), np.inf, jnp.float32), best_in,
+        any_hit=False, active=active,
     )
     t_m = np.asarray(t_m)
     inactive = ~np.asarray(active)
@@ -165,9 +181,6 @@ def test_deferred_grazing_rays_exact(big_scene):
     opens MANY leaf groups at similar t — maximal candidate-buffer churn.
     This is the torture case for the descent-append/test-drain interplay
     (the round-2 slot-overwrite bug dropped live groups exactly here)."""
-    from rpt_tpu.deferred import deferred_traverse
-    from rpt_tpu.intersect import _traverse
-
     bvh = big_scene.tables["bvh"]
     clusters = big_scene.tables["clusters"]
     side = 72
@@ -185,14 +198,9 @@ def test_deferred_grazing_rays_exact(big_scene):
         Vec3(*(jnp.asarray(d[:, i]) for i in range(3))),
     )
 
-    t_old, *_ = _traverse(
-        bvh, ray, 1e-4, jnp.full((n,), np.inf, jnp.float32),
-        jnp.full((n,), np.inf, jnp.float32), any_hit=False,
-    )
-    t_new, *_ = deferred_traverse(
-        clusters, ray, 1e-4, jnp.inf, jnp.full((n,), np.inf, jnp.float32),
-        any_hit=False,
-    )
+    inf = jnp.full((n,), np.inf, jnp.float32)
+    t_old, *_ = _jit_traverse(bvh, ray, inf, inf, any_hit=False)
+    t_new, *_ = _jit_deferred(clusters, ray, inf, inf, any_hit=False)
     t_old, t_new = np.asarray(t_old), np.asarray(t_new)
     mask_agree = np.isfinite(t_old) == np.isfinite(t_new)
     assert mask_agree.all(), f"hit masks differ on {(~mask_agree).sum()} lanes"
@@ -202,21 +210,17 @@ def test_deferred_grazing_rays_exact(big_scene):
 
 
 def test_perray_matches_reference_traversal(big_scene):
-    from rpt_tpu.intersect import _traverse
     from rpt_tpu.tiled import perray_traverse
 
     bvh = big_scene.tables["bvh"]
     clusters = big_scene.tables["clusters"]
     ray, n = camera_rays()
 
-    t_old, tri_old, *_ = _traverse(
-        bvh, ray, 1e-4, jnp.full((n,), np.inf, jnp.float32),
-        jnp.full((n,), np.inf, jnp.float32), any_hit=False,
-    )
-    t_new, tri, u, v, w, done = perray_traverse(
-        clusters, ray, 1e-4, jnp.inf, jnp.full((n,), np.inf, jnp.float32),
-        any_hit=False,
-    )
+    inf = jnp.full((n,), np.inf, jnp.float32)
+    t_old, tri_old, *_ = _jit_traverse(bvh, ray, inf, inf, any_hit=False)
+    t_new, tri, u, v, w, done = jax.jit(
+        lambda ct, r, lim, b: perray_traverse(ct, r, 1e-4, lim, b, any_hit=False)
+    )(clusters, ray, inf, inf)
     done = np.asarray(done)
     assert done.all(), "per-ray rounds should finish every lane here"
     t_old = np.asarray(t_old)
