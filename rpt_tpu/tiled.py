@@ -40,7 +40,13 @@ from .ray import Ray
 from .vec import Vec3
 
 TILE = 256
-KEY_MAX = jnp.int32(0x7FFFFFFF)
+# plain int, NOT jnp.int32: a module-level device constant would
+# initialize the default jax backend at import time — on this machine
+# that means the axon TPU plugin, which hangs indefinitely during tunnel
+# outages before any caller can force jax_platforms=cpu
+# (tests/test_import_no_backend.py pins this). Python ints are weakly
+# typed, so every use below stays int32.
+KEY_MAX = 0x7FFFFFFF
 # bounded full/quarter-width stages, then a capped fixpoint at 1/8 width
 ROUND_STAGES = ((12, 1), (24, 4))
 FIX_DIV = 8
