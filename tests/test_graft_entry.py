@@ -138,3 +138,26 @@ def test_bench_watchdog_passes_healthy_backend():
 
     elapsed = bench.check_backend(timeout_s=30.0, op=lambda: None)
     assert elapsed < 30.0
+
+
+def test_entry_probe_raises_fast_on_hang():
+    """entry() is a library hook called in the driver's process: a hung
+    backend init must raise (diagnosable traceback), not exit or hang."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+    with pytest.raises(RuntimeError, match="backend_unavailable"):
+        g._probe_backend(timeout_s=0.5, op=lambda: _time.sleep(60))
+    assert _time.perf_counter() - t0 < 10
+
+
+def test_entry_probe_wraps_probe_errors():
+    def _boom():
+        raise ValueError("tunnel reset")
+
+    with pytest.raises(RuntimeError, match="tunnel reset"):
+        g._probe_backend(timeout_s=5.0, op=_boom)
+
+
+def test_entry_probe_passes_healthy_backend():
+    g._probe_backend(timeout_s=30.0, op=lambda: None)
