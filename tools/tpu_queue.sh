@@ -11,7 +11,9 @@ mkdir -p /tmp/tpu_results
 # 1. the headline bench (validates the 2.72 claim + top-seed + packed rungs)
 timeout 1800 python bench.py 2>&1 | tee /tmp/tpu_results/bench.txt | tail -2
 
-# 2. dragon closest-hit segment timing (top-seed on/off)
+# 2. dragon closest-hit segment timing (top-seed on/off). Decision rule:
+#    keep TOP_SEED=1 unless OFF is faster by >2% (it removes ~2 gathers/ray
+#    of the 13.2 for ~2 ms of dense slab math per wavefront).
 timeout 900 python experiments/defer_time.py 2>&1 | tee /tmp/tpu_results/defer_topseed.txt | tail -3
 timeout 900 env RPT_TPU_TOP_SEED=0 python experiments/defer_time.py 2>&1 | tee /tmp/tpu_results/defer_notopseed.txt | tail -3
 
@@ -20,7 +22,13 @@ timeout 1800 python -c "
 import sys, json; sys.path.insert(0, '/root/repo')
 import bench_extra; print(json.dumps(bench_extra.photon_metric()))" 2>&1 | tee /tmp/tpu_results/photon.txt | tail -3
 
-# 4. CLUSTER_TRIS sweep
+# 4. CLUSTER_TRIS sweep. Decision rule (host model, experiments/ct_sweep.py):
+#    CT=16 predicted ~18% faster mean (219 vs 266 modelled ns/ray) but with
+#    a 33% larger p99 descent tail — flip the default to 16 only if the
+#    measured closest-hit segment beats CT=32 by >=10% (below that the
+#    doubled tree/table memory and longer compiles aren't worth it).
+#    CT=16 is already CPU-exactness-validated (test_tiled/test_deferred_ladder
+#    pass under RPT_TPU_CLUSTER_TRIS=16), so a win can ship immediately.
 timeout 900 env RPT_TPU_CLUSTER_TRIS=16 python experiments/defer_time.py 2>&1 | tee /tmp/tpu_results/defer_ct16.txt | tail -3
 
 # 5. phase splits
