@@ -30,6 +30,11 @@ import bench_extra; print(json.dumps(bench_extra.photon_metric()))" 2>&1 | tee /
 #    CT=16 is already CPU-exactness-validated (test_tiled/test_deferred_ladder
 #    pass under RPT_TPU_CLUSTER_TRIS=16), so a win can ship immediately.
 timeout 900 env RPT_TPU_CLUSTER_TRIS=16 python experiments/defer_time.py 2>&1 | tee /tmp/tpu_results/defer_ct16.txt | tail -3
+# 4b. CT=16 end-to-end: the tiled (coherent) path sees doubled cull width
+#     and halved fat rows too — the flip decision needs the NET bench
+#     number, not just the bounce segment. Fresh compile (~15 min first
+#     time): run only if 4 showed a win.
+timeout 1800 env RPT_TPU_CLUSTER_TRIS=16 python bench.py 2>&1 | tee /tmp/tpu_results/bench_ct16.txt | tail -2
 
 # 5. phase splits
 timeout 900 python experiments/two_phase_split.py 2>&1 | tee /tmp/tpu_results/two_phase.txt | tail -6
