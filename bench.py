@@ -118,6 +118,48 @@ def build_scene() -> rpt.Scene:
     return scene
 
 
+def run_extra_metrics(budget_s: float) -> None:
+    """Append the secondary workload metrics (sphere analytic path,
+    cornell dense-tri path) to the driver artifact, AFTER the dragon
+    headline is already printed+flushed.
+
+    Parse safety: the driver extracts ONE JSON object from bench.py's
+    output (BENCH_rN.json "parsed"), and its selection rule among
+    multiple stdout JSON lines is unknown — so extras go to STDERR as
+    `# extra {json}` lines. The driver's "tail" capture merges stderr,
+    so a green artifact still shows the whole profile (VERDICT r4 #6).
+
+    Budget safety: a hard SIGALRM backstop exits 0 after ``budget_s``
+    (the headline is already out); each metric is also try/excepted so
+    one failure can't mask the others.
+    """
+    import signal
+
+    def _give_up(signum, frame):
+        sys.stderr.write(f"# extra metrics hit the {budget_s:.0f}s budget; exiting\n")
+        sys.stderr.flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, _give_up)
+    signal.alarm(int(budget_s))
+    try:
+        import bench_extra
+
+        metrics = [bench_extra.sphere_metric, bench_extra.cornell_metric]
+        if os.environ.get("RPT_TPU_BENCH_PHOTON", "0") == "1":
+            metrics.append(bench_extra.photon_metric)
+        for fn in metrics:
+            try:
+                sys.stderr.write(f"# extra {json.dumps(fn())}\n")
+            except Exception as e:  # noqa: BLE001 - recorded, not fatal
+                sys.stderr.write(
+                    f"# extra {json.dumps({'metric': fn.__name__, 'error': repr(e)})}\n"
+                )
+            sys.stderr.flush()
+    finally:
+        signal.alarm(0)
+
+
 def main():
     probe_s = check_backend()
     sys.stderr.write(f"# backend probe ok in {probe_s:.1f}s\n")
@@ -191,6 +233,11 @@ def main():
         f"setup+compile {setup_s:.1f}s; mean radiance {float(np.asarray(img).mean()):.4f}",
         file=sys.stderr,
     )
+    sys.stdout.flush()
+    sys.stderr.flush()
+    extra_budget = float(os.environ.get("RPT_TPU_BENCH_EXTRA_BUDGET", "900"))
+    if extra_budget > 0:
+        run_extra_metrics(extra_budget)
 
 
 if __name__ == "__main__":

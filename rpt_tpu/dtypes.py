@@ -40,6 +40,25 @@ if os.environ.get("RPT_TPU_NO_COMPILE_CACHE", "0") != "1":
             _platforms = jax.config.jax_platforms or ""
         except Exception:  # pragma: no cover
             _platforms = ""
+        # The axon TPU plugin IGNORES the JAX_PLATFORMS env var for backend
+        # selection (CLAUDE.md) — only a programmatic
+        # jax.config.update("jax_platforms", "cpu") actually selects CPU.
+        # If "cpu" came solely from the env var on an axon machine, the real
+        # compiles are still TPU: don't route them into the _cpu_<fp> dir
+        # (which would orphan the warm TPU cache, ~15 min of dragon compile).
+        # Callers that genuinely run on XLA:CPU (tests/conftest.py, the
+        # dryrun subprocess) assert it via RPT_TPU_CACHE_PLATFORM=cpu.
+        _cache_plat = os.environ.get("RPT_TPU_CACHE_PLATFORM")
+        if _cache_plat is None:
+            _env_plat = os.environ.get("JAX_PLATFORMS", "")
+            _axon_installed = "axon" in _env_plat or any(
+                "axon" in p
+                for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+            )
+            if _axon_installed and _env_plat.startswith("cpu") and _platforms == _env_plat:
+                _platforms = ""
+        else:
+            _platforms = _cache_plat
         if _platforms.startswith("cpu"):
             import hashlib
 

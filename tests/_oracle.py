@@ -30,7 +30,11 @@ def _dot(a, b):
 
 
 def _norm(a):
-    return a / np.linalg.norm(a, axis=-1, keepdims=True)
+    # zero vectors (dead-lane directions) normalize to zero, not nan/0:
+    # the suite runs RuntimeWarnings as errors, so masked lanes must not
+    # trip 0/0 — a real nan in a compared lane still propagates.
+    n = np.linalg.norm(a, axis=-1, keepdims=True)
+    return a / np.where(n > 0.0, n, 1.0)
 
 
 # --- shapes (closed-form, f64) --------------------------------------------
@@ -51,16 +55,20 @@ class OSphere:
         b = _dot(dn, oc)
         c = _dot(oc, oc) - 1.0
         disc = b * b - a * c
-        ok = disc >= 0.0
+        # dead lanes carry d = 0 (a = 0): guard the quadratic's divisor
+        # and the inf*0 position product so masked lanes never raise
+        # RuntimeWarnings — the suite runs with them as errors, so a real
+        # nan/inf reaching a COMPARED lane stays detectable.
+        ok = (disc >= 0.0) & (a > 0.0)
+        a_safe = np.where(a > 0.0, a, 1.0)
         sq = np.sqrt(np.maximum(disc, 0.0))
-        t_minus = (-b - sq) / a
-        t_plus = (-b + sq) / a
+        t_minus = (-b - sq) / a_safe
+        t_plus = (-b + sq) / a_safe
         t = np.where(t_minus < t_min, t_plus, t_minus)
         ok &= (t >= t_min) & (t < t_best)
-        t = np.where(ok, t, np.inf)
-        p = o + t[:, None] * d
+        p = o + np.where(ok, t, 0.0)[:, None] * d
         nrm = _norm(np.where(ok[:, None], p - self.c, [[1.0, 0, 0]]))
-        return t, nrm
+        return np.where(ok, t, np.inf), nrm
 
     def sample(self, target, rng):
         """Transformed sphere light sample (sphere.rs:53-65 through
@@ -546,8 +554,11 @@ def photon_surface_estimate(scene, photons, o, d, k):
 
 
 def _k2(x):
-    """Blur kernel k2 (photon.rs:466-469 / :525-528)."""
-    return (3.0 / np.pi) * (1.0 - x) ** 2
+    """Blur kernel k2 (photon.rs:466-469 / :525-528). Clamped at x=2:
+    every consumer masks lanes to x < 1 (dist < radius), but masked
+    lanes can carry dist/1e-300 ratios whose square overflows f64 —
+    the clamp only touches lanes whose product is zeroed anyway."""
+    return (3.0 / np.pi) * (1.0 - np.minimum(x, 2.0)) ** 2
 
 
 def photon_beam_sphere_estimate(scene, medium, ph_pos, ph_dir, ph_pow, ph_rad,
@@ -609,13 +620,20 @@ def photon_beam_beam_estimate(scene, medium, b_start, b_dir, b_len, b_rad,
         bc = b_start[j][None, :] + beam_t[:, None] * b_dir[j][None, :]
         dist = np.linalg.norm(qc - bc, axis=-1)
         ok &= dist < b_rad[j]
+        # masked lanes can carry t ~ -1e30 (behind-origin / parallel-beam
+        # degeneracies); exp(-ext*t) would overflow f64 there even though
+        # the `ok` mask zeroes the product. Clamp the exponent arguments on
+        # masked lanes so the suite stays clean under -W error and a real
+        # inf/NaN leaking into a COMPARED lane is detectable.
+        t_safe = np.where(ok, t, 0.0)
+        beam_t_safe = np.where(ok, beam_t, 0.0)
         contrib = (
             medium.ext
             * (b_pow[j][None, :] * medium.color[None, :])
             * medium.phase
             * inv_sin[:, None]
-            * np.exp(-medium.ext * t)[:, None]
-            * np.exp(-medium.ext * beam_t)[:, None]
+            * np.exp(-medium.ext * t_safe)[:, None]
+            * np.exp(-medium.ext * beam_t_safe)[:, None]
             * _k2(dist / max(b_rad[j], 1e-300))[:, None]
             / (2.0 * max(b_rad[j], 1e-300))
         )

@@ -26,6 +26,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Route persistent-cache entries to the fingerprinted CPU dir (dtypes.py):
+# the suite really runs XLA:CPU here (config.update below works even under
+# the axon plugin, unlike the env var alone).
+os.environ["RPT_TPU_CACHE_PLATFORM"] = "cpu"
 # Tell __graft_entry__.dryrun_multichip the CPU platform is provisioned
 # in-process (outside tests it must subprocess WITHOUT probing jax).
 os.environ["RPT_TPU_DRYRUN_INPROC"] = "1"

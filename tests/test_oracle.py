@@ -32,6 +32,9 @@ def _wavefront_image(scene, camera, spp, max_bounces):
 
 
 def _compare(img_wf, img_or, mean_tol=0.02, rmse_tol=0.10):
+    # any inf/NaN reaching a compared lane is a bug, never tolerance slack
+    assert np.isfinite(img_wf).all(), "wavefront image has non-finite lanes"
+    assert np.isfinite(img_or).all(), "oracle image has non-finite lanes"
     m_wf, m_or = img_wf.mean(), img_or.mean()
     rel = abs(m_wf - m_or) / m_or
     assert rel < mean_tol, f"image means differ {rel:.2%} (wf {m_wf}, oracle {m_or})"

@@ -34,8 +34,8 @@ def _jit_deferred(ct, ray, limit, best, any_hit, active=None):
     return deferred_traverse(ct, ray, 1e-4, limit, best, any_hit, active=active)
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit",))
-def _jit_bvh_closest(bvh, ray, best, any_hit=False, clusters=None):
+@jax.jit
+def _jit_bvh_closest(bvh, ray, best, clusters=None):
     return bvh_closest_hit(bvh, ray, 1e-4, best, clusters=clusters)
 
 

@@ -33,8 +33,27 @@ timeout 900 env RPT_TPU_CLUSTER_TRIS=16 python experiments/defer_time.py 2>&1 | 
 # 4b. CT=16 end-to-end: the tiled (coherent) path sees doubled cull width
 #     and halved fat rows too — the flip decision needs the NET bench
 #     number, not just the bounce segment. Fresh compile (~15 min first
-#     time): run only if 4 showed a win.
-timeout 1800 env RPT_TPU_CLUSTER_TRIS=16 python bench.py 2>&1 | tee /tmp/tpu_results/bench_ct16.txt | tail -2
+#     time): run only if 4 showed a >=10% closest-segment win (decision
+#     rule above), or force with RPT_TPU_QUEUE_FORCE_CT16=1.
+ct16_win=$(python - <<'EOF'
+import re
+def seg(path):
+    try:
+        txt = open(path).read()
+    except OSError:
+        return None
+    m = re.findall(r"closest[^\n]*?([0-9.]+)\s*ms", txt)
+    return float(m[-1]) if m else None
+base = seg("/tmp/tpu_results/defer_topseed.txt")
+ct16 = seg("/tmp/tpu_results/defer_ct16.txt")
+print(1 if base and ct16 and ct16 <= 0.9 * base else 0)
+EOF
+)
+if [ "$ct16_win" = "1" ] || [ "${RPT_TPU_QUEUE_FORCE_CT16:-0}" = "1" ]; then
+  timeout 1800 env RPT_TPU_CLUSTER_TRIS=16 python bench.py 2>&1 | tee /tmp/tpu_results/bench_ct16.txt | tail -2
+else
+  echo "CT=16 segment win <10% (or unmeasured): skipping the full CT=16 bench" | tee /tmp/tpu_results/bench_ct16.txt
+fi
 
 # 5. phase splits
 timeout 900 python experiments/two_phase_split.py 2>&1 | tee /tmp/tpu_results/two_phase.txt | tail -6
