@@ -50,7 +50,11 @@ def check_backend(timeout_s: float | None = None, op=None) -> float:
     import threading
 
     if timeout_s is None:
-        timeout_s = float(os.environ.get("RPT_TPU_BACKEND_TIMEOUT", "120"))
+        # 240 s: the healthy backend's first dispatch measured 31-45 s
+        # today but exceeded 120 s once right after another TPU process
+        # exited (the tunnel re-initializes); a real outage still fails
+        # in well under the driver's patience (BENCH_r03 sat 880+ s).
+        timeout_s = float(os.environ.get("RPT_TPU_BACKEND_TIMEOUT", "240"))
     done = threading.Event()
     errors: list[BaseException] = []
 

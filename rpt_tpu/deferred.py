@@ -74,8 +74,19 @@ MIN_STAGE = 4096  # narrowest ladder stage
 UNROLL_WIDTH = int(os.environ.get("RPT_TPU_UNROLL_WIDTH", "32768"))
 UNROLL_K = int(os.environ.get("RPT_TPU_UNROLL_K", "4"))
 # Dense top-of-tree seeding (zero-gather broadcast tests of the top two
-# row-levels; see _dense_top_seed)
-TOP_SEED = os.environ.get("RPT_TPU_TOP_SEED", "1") == "1"
+# row-levels; see _dense_top_seed). DEFAULT OFF — measured NET-NEGATIVE
+# on the real chip (round 5, experiments/machinery_bisect.py, queue
+# decision rule "keep unless OFF wins >2%"): the 262k-lane dragon
+# camera wavefront runs 291.4 ms seeded vs 109.7 ms unseeded, and the
+# ZERO-ACTIVE machinery cost is 252.7 vs 56.3 ms. The ~2 gathers/ray it
+# saves (~25 ms) are swamped by its seeded stack (M = 2*tree_top+1
+# extra columns) widening the packed i32 block that EVERY ladder rung
+# boundary gathers and scatters, plus tree_top+1 full-width broadcast
+# slab tests. This single flag was the round-5 bench regression
+# (0.79 Mrays/s with it, landed untested during the round-4 outage).
+# A depth-capped seed stack (spill -> root-rest entry) could recover
+# the gather win without the state bloat — unexplored.
+TOP_SEED = os.environ.get("RPT_TPU_TOP_SEED", "0") == "1"
 
 
 def _tree_wide(tree) -> int:
