@@ -39,6 +39,23 @@ from ..vec import Vec3
 MAX_CELLS = 4_000_000
 FINE_WINDOW = 768  # target bound on the fine 27-cell packed window
 
+# RPT_TPU_PHOTON_PROFILE=1: print wall time of each build sub-phase to
+# stderr (forces device syncs at the boundaries — measurement only).
+import os as _os
+import sys as _sys
+import time as _ptime
+
+_PROF = bool(_os.environ.get("RPT_TPU_PHOTON_PROFILE"))
+
+
+def _prof(label, t0, *sync):
+    if _PROF:
+        if sync:
+            jax.block_until_ready(sync)
+        print(f"  grid-prof {label}: {_ptime.perf_counter() - t0:.2f}s",
+              file=_sys.stderr)
+    return _ptime.perf_counter()
+
 
 @dataclass(frozen=True)
 class PhotonGridStatic:
@@ -173,6 +190,7 @@ def build_photon_grid(positions, k: int, cap: int = 24,
     on_device = isinstance(positions, jax.Array) and not isinstance(
         positions, np.ndarray
     )
+    _t = _ptime.perf_counter()
     if on_device:
         pos_dev = positions.reshape(-1, 3).astype(jnp.float32)
         n_dev = pos_dev.shape[0]
@@ -183,6 +201,7 @@ def build_photon_grid(positions, k: int, cap: int = 24,
             positions = np.asarray(pos_dev[::step][:200_000], np.float64)
             lo_dev = np.asarray(jnp.min(pos_dev, axis=0), np.float64)
             hi_dev = np.asarray(jnp.max(pos_dev, axis=0), np.float64)
+        _t = _prof("subsample-pull", _t)
     positions = np.asarray(positions, np.float64).reshape(-1, 3)
     n = n_dev if on_device else len(positions)
     if n == 0:
@@ -237,6 +256,7 @@ def build_photon_grid(positions, k: int, cap: int = 24,
             continue
         h = h_eff
         break
+    _t = _prof("fine-calibrate", _t)
     if on_device:
         h, dims, inv_h, _, _ = _grid_for(calib, lo, span, h)
         counts_dev = jnp.bincount(
@@ -246,6 +266,7 @@ def build_photon_grid(positions, k: int, cap: int = 24,
         qc = _cell_coords(sq, lo, inv_h, dims)
         totals = _box_totals_device(qc, counts_dev, dims, 1)
         totals5 = _box_totals_device(qc, counts_dev, dims, 2)
+        _t = _prof("fine-device-totals", _t)
     else:
         h, dims, inv_h, cell_id, counts = _grid_for(positions, lo, span, h)
         qc = _cell_coords(sq, lo, inv_h, dims)
@@ -270,6 +291,7 @@ def build_photon_grid(positions, k: int, cap: int = 24,
             h2 = h2_eff
             break
         h2 = h2_eff * 1.5
+    _t = _prof("coarse-calibrate", _t)
     if on_device:
         h2, dims2, inv_h2, _, _ = _grid_for(calib, lo, span, h2)
         counts2_dev = jnp.bincount(
@@ -278,6 +300,7 @@ def build_photon_grid(positions, k: int, cap: int = 24,
         )
         qc2 = _cell_coords(sq, lo, inv_h2, dims2)
         t2 = _box_totals_device(qc2, counts2_dev, dims2, 1)
+        _t = _prof("coarse-device-totals", _t)
     else:
         h2, dims2, inv_h2, cell_id2, counts2 = _grid_for(positions, lo, span, h2)
         qc2 = _cell_coords(sq, lo, inv_h2, dims2)

@@ -88,6 +88,16 @@ UNROLL_K = int(os.environ.get("RPT_TPU_UNROLL_K", "4"))
 # the gather win without the state bloat — unexplored.
 TOP_SEED = os.environ.get("RPT_TPU_TOP_SEED", "0") == "1"
 
+# Root-segment cull: one broadcast slab test of the static root row
+# retires lanes whose [t_min, cutoff] segment misses every root child
+# before the ladder runs. Exact (the root row's children bound the whole
+# mesh) and CPU-exactness-tested, but MEASURED SLIGHTLY NEGATIVE on the
+# dragon bench (2.62 vs 2.68 Mrays/s, round 5): its shadow lanes start
+# on the mesh and rarely cull, so the extra full-width test is pure
+# overhead there. Default off; enable for scenes whose shadow/closest
+# wavefronts aim far off the mesh bbox (PERF.md round 5).
+ROOT_CULL = os.environ.get("RPT_TPU_ROOT_CULL", "0") == "1"
+
 
 def _tree_wide(tree) -> int:
     """Children per wide-tree row, inferred from the static row width
@@ -553,6 +563,18 @@ def deferred_traverse(ct: ClusterTables, ray: Ray, t_min, limit, best_time,
     uray = Ray(ray.origin, dn)
     inv_dir = Vec3.ones(dn.shape) / dn
     depth = ct.tree_depth
+
+    # Root-segment cull (exact, zero gathers; flag-gated — see ROOT_CULL
+    # above): a lane whose [t_min, cutoff] segment misses EVERY child box
+    # of the static root row cannot hit the mesh — retire it before the
+    # ladder machinery runs.
+    if ROOT_CULL and n >= MIN_STAGE:
+        wide0 = _tree_wide(ct.tree)
+        _, _, _, h0, _ = _broadcast_row_test(
+            ct.tree[0], _rep3(uray.origin, wide0), _rep3(inv_dir, wide0),
+            t_min, jnp.minimum(best_u0, limit_u), active, wide0,
+        )
+        active = active & jnp.any(h0, axis=1)
 
     if TOP_SEED and n >= MIN_STAGE and ct.tree_top > 0:
         # consume the top two row-levels densely (zero gathers)
