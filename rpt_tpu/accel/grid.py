@@ -41,6 +41,7 @@ FINE_WINDOW = 768  # target bound on the fine 27-cell packed window
 
 # RPT_TPU_PHOTON_PROFILE=1: print wall time of each build sub-phase to
 # stderr (forces device syncs at the boundaries — measurement only).
+import functools as _functools
 import os as _os
 import sys as _sys
 import time as _ptime
@@ -100,21 +101,6 @@ def _box_totals(qc: np.ndarray, counts: np.ndarray, dims, rad: int):
     return totals
 
 
-def _box_totals_device(qc: np.ndarray, counts_dev, dims, rad: int):
-    """_box_totals against DEVICE counts: one (B, Q) gather + reduce for
-    the B=(2rad+1)^3 offsets x Q sampled queries (single dispatch)."""
-    r = np.arange(-rad, rad + 1)
-    offs = np.stack(np.meshgrid(r, r, r, indexing="ij"), -1).reshape(-1, 3)
-    nb = qc[None, :, :] + offs[:, None, :]
-    dims_a = np.asarray(dims)
-    ok = ((nb >= 0) & (nb < dims_a)).all(-1)
-    ids = (nb[..., 0] * dims[1] + nb[..., 1]) * dims[2] + nb[..., 2]
-    ids = np.clip(ids, 0, int(np.prod(dims)) - 1)
-    vals = counts_dev[jnp.asarray(ids)]
-    totals = jnp.sum(jnp.where(jnp.asarray(ok), vals, 0), axis=0)
-    return np.asarray(totals, np.int64)
-
-
 def _grid_for(positions, lo, span, h):
     # keep h >= span/512 so the per-axis 512-cell cap never makes
     # _cell_coords collapse the tail of an axis into its last cell
@@ -148,32 +134,109 @@ def _device_cell_ids(pos_dev, origin, inv_h, dims):
     return (c[:, 0] * d[1] + c[:, 1]) * d[2] + c[:, 2]
 
 
-def _finalize_device(pos_dev, lo, span, h, h2, dims, dims2, inv_h, inv_h2):
-    """order/starts/map2 + full-cloud counts, all on device — photon
-    clouds live on the TPU and the axon device->host link runs at
-    ~13-40 MB/s, so multi-M-row pulls for a host argsort dominated the
-    photon map build wall (PERF.md round-3)."""
-    n = pos_dev.shape[0]
-    cell_id = _device_cell_ids(pos_dev, lo, inv_h, dims)
-    cell_id2 = _device_cell_ids(pos_dev, lo, inv_h2, dims2)
-    counts = jnp.bincount(cell_id, length=int(np.prod(dims)))
-    order = jnp.argsort(cell_id, stable=True)
-    starts = jnp.searchsorted(
-        cell_id[order], jnp.arange(int(np.prod(dims)) + 1)
+def _bucket(n: int) -> int:
+    """Pad photon-cloud sizes to a power of two (min 8192) so every
+    device executable in the build/query pipeline is shared across
+    clouds, seeds and scenes. On axon, per-op dispatch pays a ~0.5-13 s
+    remote-compile RPC for every NEW shape while actual execution of a
+    2M-row sort is ~milliseconds (PERF.md round 5) — fixed shapes turn
+    the whole build into persistent-cache hits."""
+    return max(8192, 1 << (int(n) - 1).bit_length())
+
+
+@jax.jit
+def _cloud_stats_device(pos_pad, n_real, calib_idx):
+    """Masked lo/hi of the real rows + the calibration subsample, in one
+    dispatch (the subsample selection mirrors the host path's
+    ``positions[::step][:CAL_MAX]`` exactly via ``calib_idx``)."""
+    lane = jnp.arange(pos_pad.shape[0], dtype=jnp.int32)[:, None]
+    real = lane < n_real
+    big = jnp.float32(3.4e38)
+    lo = jnp.min(jnp.where(real, pos_pad, big), axis=0)
+    hi = jnp.max(jnp.where(real, pos_pad, -big), axis=0)
+    calib = jnp.take(pos_pad, calib_idx, axis=0)
+    return lo, hi, calib
+
+
+def _bucket_cells(nc: int) -> int:
+    """Bucket the cell-run table length (power-of-4 steps, min 4096,
+    capped at MAX_CELLS): the searchsorted query width is baked into the
+    executable, so bucketing shares it across scenes while tiny test
+    clouds avoid paying a 4M-entry table."""
+    b = 4096
+    while b < nc and b < MAX_CELLS:
+        b *= 4
+    return min(b, MAX_CELLS) if nc <= MAX_CELLS else MAX_CELLS
+
+
+@_functools.partial(jax.jit, static_argnums=(3,))
+def _fused_build_device(pos_pad, payload_pad, n_real, ncap, o, inv_h, dims_v,
+                        inv_h2, dims2_v, ids1, ok1, ids2, ok2, ids3, ok3):
+    """The ENTIRE device-side grid build in one XLA program: both grids'
+    cell ids, stable argsorts, bucketed-length (ncap+1, static) cell-run
+    starts (sort-based — no scatter: TPU scatter-add serialized the old
+    bincount into the build's biggest wall), the coarse->fine slot map,
+    the three sampled box-total calibration reads, and the payload
+    reorder. Padded rows get cell id ncap so they sort after every real
+    cell and the run table ignores them. One executable serves every
+    cloud of the same (row, cell) bucket (dims/origin/cell sizes are
+    traced)."""
+    nb = pos_pad.shape[0]
+    lane = jnp.arange(nb, dtype=jnp.int32)
+    pad = lane >= n_real
+
+    def cids(inv, dv):
+        c = jnp.floor((pos_pad - o) * inv).astype(jnp.int32)
+        c = jnp.clip(c, 0, dv - 1)
+        cid = (c[:, 0] * dv[1] + c[:, 1]) * dv[2] + c[:, 2]
+        return jnp.where(pad, ncap, cid)
+
+    q = jnp.arange(ncap + 1, dtype=jnp.int32)
+    cid = cids(inv_h, dims_v)
+    order = jnp.argsort(cid, stable=True)
+    starts = jnp.searchsorted(cid[order], q).astype(jnp.int32)
+    cid2 = cids(inv_h2, dims2_v)
+    order2 = jnp.argsort(cid2, stable=True)
+    starts2 = jnp.searchsorted(cid2[order2], q).astype(jnp.int32)
+    # coarse-slot -> fine-slot map: inverse-permute the fine order
+    # (argsort of a permutation — pure sort+gather, no scatter)
+    map2 = jnp.argsort(order).astype(jnp.int32)[order2]
+
+    def boxsum(st, ids, ok):
+        v = st[ids + 1] - st[ids]
+        return jnp.sum(jnp.where(ok, v, 0), axis=0)
+
+    totals = boxsum(starts, ids1, ok1)
+    totals5 = boxsum(starts, ids2, ok2)
+    t2 = boxsum(starts2, ids3, ok3)
+    sorted_rows = jnp.take(payload_pad, order, axis=0)
+    live = (lane < n_real)[:, None]  # pads sort last -> sorted tail
+    pos4 = jnp.where(
+        live,
+        jnp.concatenate(
+            [sorted_rows[:, 0:3], jnp.zeros((nb, 1), jnp.float32)], axis=1
+        ),
+        jnp.float32(1e30),
     )
-    order2 = jnp.argsort(cell_id2, stable=True)
-    starts2 = jnp.searchsorted(
-        cell_id2[order2], jnp.arange(int(np.prod(dims2)) + 1)
-    )
-    fine_slot = jnp.zeros(n, jnp.int32).at[order].set(
-        jnp.arange(n, dtype=jnp.int32)
-    )
-    map2 = fine_slot[order2]
-    return counts, order, starts, order2, starts2, map2
+    pos4_2 = jnp.take(pos4, map2, axis=0)
+    return (order.astype(jnp.int32), starts, starts2, map2, totals,
+            totals5, t2, sorted_rows, pos4, pos4_2)
+
+
+def _box_ids_host(qc: np.ndarray, dims, rad: int, ncap: int):
+    """Host-side (B, Q) neighbor-cell id/validity tables for the sampled
+    box-total reads inside ``_fused_build_device``."""
+    r = np.arange(-rad, rad + 1)
+    offs = np.stack(np.meshgrid(r, r, r, indexing="ij"), -1).reshape(-1, 3)
+    nb = qc[None, :, :] + offs[:, None, :]
+    ok = ((nb >= 0) & (nb < np.asarray(dims))).all(-1)
+    ids = (nb[..., 0] * dims[1] + nb[..., 1]) * dims[2] + nb[..., 2]
+    return (np.clip(ids, 0, ncap - 1).astype(np.int32), ok)
 
 
 def build_photon_grid(positions, k: int, cap: int = 24,
-                      sample_queries: np.ndarray | None = None):
+                      sample_queries: np.ndarray | None = None,
+                      payload_rows=None):
     """Build the two-level photon grid, calibrated for k-NN.
 
     Returns (static, tables); tables = {"starts", "order", "starts2",
@@ -186,7 +249,15 @@ def build_photon_grid(positions, k: int, cap: int = 24,
     path) or a device array: then calibration runs on a pulled subsample
     and the full-cloud sort/bin/map construction stays ON DEVICE (the
     multi-M-row device->host pull + host argsort used to dominate the
-    build wall on axon)."""
+    build wall on axon), padded to a power-of-two bucket and fused into
+    ONE dispatch (`_fused_build_device`) so the executable is shared
+    across clouds/seeds/scenes — per-op axon dispatch paid a ~0.5-13 s
+    remote-compile RPC per new shape (PERF.md round 5). Device tables are
+    BUCKETED: ``order``/``map2`` have bucket length with pads sorted
+    last, ``starts``/``starts2`` are fixed length ``MAX_CELLS + 1``.
+    ``payload_rows`` (device (n, R) rows) additionally returns
+    ``rows``/``pos4``/``pos4_2`` — the payload sorted by ``order`` — from
+    the same fused dispatch."""
     on_device = isinstance(positions, jax.Array) and not isinstance(
         positions, np.ndarray
     )
@@ -197,10 +268,25 @@ def build_photon_grid(positions, k: int, cap: int = 24,
         if n_dev == 0:
             positions = np.zeros((0, 3), np.float64)
         else:
+            nb = _bucket(n_dev)
+            pos_pad = pos_dev if nb == n_dev else jnp.concatenate(
+                [pos_dev, jnp.zeros((nb - n_dev, 3), jnp.float32)]
+            )
+            # calibration subsample: byte-identical selection to the host
+            # path's positions[::step][:200_000]
             step = max(1, n_dev // 200_000)
-            positions = np.asarray(pos_dev[::step][:200_000], np.float64)
-            lo_dev = np.asarray(jnp.min(pos_dev, axis=0), np.float64)
-            hi_dev = np.asarray(jnp.max(pos_dev, axis=0), np.float64)
+            calib_idx = jnp.asarray(
+                np.arange(0, n_dev, step, dtype=np.int32)[:200_000]
+            )
+            lo_d, hi_d, calib_d = _cloud_stats_device(
+                pos_pad, jnp.int32(n_dev), calib_idx
+            )
+            # pull RAW f32 and cast host-side: np.asarray(dev, f64)
+            # triggers a one-time ~22 s in-process stall on axon
+            # (PERF.md round 5)
+            positions = np.asarray(calib_d).astype(np.float64)
+            lo_dev = np.asarray(lo_d).astype(np.float64)
+            hi_dev = np.asarray(hi_d).astype(np.float64)
         _t = _prof("subsample-pull", _t)
     positions = np.asarray(positions, np.float64).reshape(-1, 3)
     n = n_dev if on_device else len(positions)
@@ -259,28 +345,19 @@ def build_photon_grid(positions, k: int, cap: int = 24,
     _t = _prof("fine-calibrate", _t)
     if on_device:
         h, dims, inv_h, _, _ = _grid_for(calib, lo, span, h)
-        counts_dev = jnp.bincount(
-            _device_cell_ids(pos_dev, lo, inv_h, dims),
-            length=int(np.prod(dims)),
-        )
         qc = _cell_coords(sq, lo, inv_h, dims)
-        totals = _box_totals_device(qc, counts_dev, dims, 1)
-        totals5 = _box_totals_device(qc, counts_dev, dims, 2)
-        _t = _prof("fine-device-totals", _t)
     else:
         h, dims, inv_h, cell_id, counts = _grid_for(positions, lo, span, h)
         qc = _cell_coords(sq, lo, inv_h, dims)
         totals = _box_totals(qc, counts, dims, 1)
         totals5 = _box_totals(qc, counts, dims, 2)
-    total_cap = _window(totals, k, n, 1024)
-    total_cap2 = _window(totals5, k, n, 2048)
 
     # ---- coarse grid: cover the sparse strays --------------------------
     # sampled queries the fine passes likely can't certify: the runtime
     # flag is (k-th distance > 2h), i.e. < k photons in the 2h-ball; the
     # ball fills ~27% of the 5x5x5 box, so box count < ~4k approximates
-    # the flagged set (the coarse window must be sized for ALL of them)
-    flagged = totals5 < 4 * k_eff
+    # the flagged set (the coarse window must be sized for ALL of them);
+    # on the device path totals come back AFTER the fused build dispatch
     h2 = h * 2.0
     for _ in range(24):
         h2_eff, dims2, inv_h2, _, counts2_s = _grid_for(calib, lo, span, h2)
@@ -294,17 +371,42 @@ def build_photon_grid(positions, k: int, cap: int = 24,
     _t = _prof("coarse-calibrate", _t)
     if on_device:
         h2, dims2, inv_h2, _, _ = _grid_for(calib, lo, span, h2)
-        counts2_dev = jnp.bincount(
-            _device_cell_ids(pos_dev, lo, inv_h2, dims2),
-            length=int(np.prod(dims2)),
-        )
         qc2 = _cell_coords(sq, lo, inv_h2, dims2)
-        t2 = _box_totals_device(qc2, counts2_dev, dims2, 1)
-        _t = _prof("coarse-device-totals", _t)
+        # ---- ONE fused device dispatch for the whole build ------------
+        if payload_rows is not None:
+            pay = payload_rows.astype(jnp.float32)
+            pay_pad = pay if nb == n_dev else jnp.concatenate(
+                [pay, jnp.zeros((nb - n_dev, pay.shape[1]), jnp.float32)]
+            )
+        else:
+            pay_pad = pos_pad
+        ncap = _bucket_cells(max(int(np.prod(dims)), int(np.prod(dims2))))
+        ids1, ok1 = _box_ids_host(qc, dims, 1, ncap)
+        ids2, ok2 = _box_ids_host(qc, dims, 2, ncap)
+        ids3, ok3 = _box_ids_host(qc2, dims2, 1, ncap)
+        (order, starts, starts2, map2, totals_d, totals5_d, t2_d,
+         sorted_rows, pos4, pos4_2) = _fused_build_device(
+            pos_pad, pay_pad, jnp.int32(n_dev), ncap,
+            jnp.asarray(lo, jnp.float32), jnp.float32(inv_h),
+            jnp.asarray(dims, jnp.int32), jnp.float32(inv_h2),
+            jnp.asarray(dims2, jnp.int32),
+            jnp.asarray(ids1), jnp.asarray(ok1),
+            jnp.asarray(ids2), jnp.asarray(ok2),
+            jnp.asarray(ids3), jnp.asarray(ok3),
+        )
+        totals = np.asarray(totals_d, np.int64)
+        totals5 = np.asarray(totals5_d, np.int64)
+        t2 = np.asarray(t2_d, np.int64)
+        _t = _prof("fused-build", _t)
+        total_cap = _window(totals, k, n, 1024)
+        total_cap2 = _window(totals5, k, n, 2048)
     else:
         h2, dims2, inv_h2, cell_id2, counts2 = _grid_for(positions, lo, span, h2)
         qc2 = _cell_coords(sq, lo, inv_h2, dims2)
         t2 = _box_totals(qc2, counts2, dims2, 1)
+        total_cap = _window(totals, k, n, 1024)
+        total_cap2 = _window(totals5, k, n, 2048)
+    flagged = totals5 < 4 * k_eff
     trunc = float(np.mean(t2 < k_eff))
     # window from the plausibly-flagged samples (the only coarse users)
     t2f = t2[flagged] if flagged.any() else t2
@@ -318,11 +420,7 @@ def build_photon_grid(positions, k: int, cap: int = 24,
             file=sys.stderr,
         )
 
-    if on_device:
-        _, order, starts, _, starts2, map2 = _finalize_device(
-            pos_dev, lo, span, h, h2, dims, dims2, inv_h, inv_h2
-        )
-    else:
+    if not on_device:
         order = np.argsort(cell_id, kind="stable")
         starts = np.searchsorted(
             cell_id[order], np.arange(int(np.prod(dims)) + 1)
@@ -347,6 +445,10 @@ def build_photon_grid(positions, k: int, cap: int = 24,
         "starts2": jnp.asarray(starts2, jnp.int32),
         "map2": jnp.asarray(map2, jnp.int32),
     }
+    if on_device and payload_rows is not None:
+        tables["rows"] = sorted_rows
+        tables["pos4"] = pos4
+        tables["pos4_2"] = pos4_2
     return static, tables
 
 

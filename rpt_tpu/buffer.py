@@ -42,7 +42,7 @@ class Buffer:
 
     def add_samples(self, colors: np.ndarray):
         """Add a full-frame (H, W, 3) sample matrix."""
-        colors = np.asarray(colors, np.float64)
+        colors = np.asarray(colors).astype(np.float64, copy=False)
         assert colors.shape == (self.height, self.width, 3), "Invalid sample dimension"
         self.sum += colors
         self.sum_sq += (colors * colors).sum(-1)

@@ -316,18 +316,16 @@ def _grid_sort(rows, k: int):
         rows = np.zeros((0, PHOTON_ROW), np.float32)
         on_device = False
     if on_device:
-        n = rows.shape[0]
-        static, tabs = build_photon_grid(rows[:, 0:3], k=k)
-        sorted_rows = jnp.take(rows, tabs["order"], axis=0)
-        pos4 = jnp.zeros((n, 4), jnp.float32).at[:, :3].set(sorted_rows[:, 0:3])
-        pos4_2 = jnp.take(pos4, tabs["map2"], axis=0)
+        # payload sort rides the fused build dispatch (bucketed shapes;
+        # tables come back padded — pads sort last, starts <= n always)
+        static, tabs = build_photon_grid(rows[:, 0:3], k=k, payload_rows=rows)
         return static, {
             "starts": tabs["starts"],
             "starts2": tabs["starts2"],
             "map2": tabs["map2"],
-            "rows": sorted_rows,
-            "pos4": pos4,
-            "pos4_2": pos4_2,
+            "rows": tabs["rows"],
+            "pos4": tabs["pos4"],
+            "pos4_2": tabs["pos4_2"],
         }
     static, tabs = build_photon_grid(rows[:, 0:3], k=k)
     order = np.asarray(tabs["order"])
@@ -437,7 +435,7 @@ def _knn_radius_device(static, tabs, n: int, k: int, chunk: int = 1 << 15) -> np
     # 2^18 queries a 1024-wide window allocated ~19.6 GB padded on TPU
     """Per-photon distance to its k-th NN (including itself), device-side."""
     rows = tabs["pos4"]
-    out = np.zeros(len(np.asarray(rows)), np.float32)
+    out = np.zeros(rows.shape[0], np.float32)
 
     @jax.jit
     def q(pos4, q4):
@@ -446,8 +444,9 @@ def _knn_radius_device(static, tabs, n: int, k: int, chunk: int = 1 << 15) -> np
         dmax = jnp.max(jnp.where(valid, d2, 0.0), axis=1)
         return jnp.sqrt(dmax)
 
+    rows_h = np.asarray(rows)  # ONE pull (was re-pulled per chunk)
     for i in range(0, n, chunk):
-        sl = np.asarray(rows)[i : i + chunk]
+        sl = rows_h[i : i + chunk]
         out[i : i + len(sl)] = np.asarray(q(rows, jnp.asarray(sl)))
     return out
 

@@ -176,7 +176,7 @@ class Renderer:
                 jax.block_until_ready(out)
         else:
             out = fn(scene.tables, key, jnp.asarray(self._sample_index, jnp.int32))
-        total = np.asarray(out, np.float64)
+        total = np.asarray(out).astype(np.float64)
         self._sample_index += iterations
         elapsed = _time.perf_counter() - t0
         self.ray_counter.record(scene, self.width_, self.height_, iterations,
@@ -246,7 +246,7 @@ class Renderer:
             occlusion_check,
         )
         out = fn(scene.tables, pmap, jax.random.fold_in(key, 2))
-        mean = np.asarray(out, np.float64) / self.num_samples_ * (2.0**self.exposure_value_)
+        mean = np.asarray(out).astype(np.float64) / self.num_samples_ * (2.0**self.exposure_value_)
         t_trace = _time.perf_counter() - t0
         # shoot/build/trace wall split for PERF.md + bench_extra
         self.phase_seconds = {"shoot": t_shoot, "build": t_build, "trace": t_trace}

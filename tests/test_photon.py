@@ -151,10 +151,14 @@ def test_device_grid_build_agrees():
 
     # compare k-NN neighbor SETS through the full query path
     def knn_sets(static, tabs):
+        # device tables are BUCKETED: order/map2 are padded to a power of
+        # two with pads sorted last — real rows occupy slots [0, n)
         order = np.asarray(tabs["order"])
-        srows = pos[order]
-        pos4 = np.zeros((len(pos), 4), np.float32)
-        pos4[:, :3] = srows
+        real = order < len(pos)
+        assert real[: len(pos)].all(), "pads must sort after every real row"
+        pos4 = np.full((len(order), 4), 1e30, np.float32)
+        pos4[real, :3] = pos[order[real]]
+        pos4[real, 3] = 0.0
         t = {
             "starts": tabs["starts"], "starts2": tabs["starts2"],
             "map2": tabs["map2"], "pos4": jnp.asarray(pos4),
