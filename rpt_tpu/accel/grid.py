@@ -236,7 +236,7 @@ def _box_ids_host(qc: np.ndarray, dims, rad: int, ncap: int):
 
 def build_photon_grid(positions, k: int, cap: int = 24,
                       sample_queries: np.ndarray | None = None,
-                      payload_rows=None):
+                      payload_rows=None, n_real: int | None = None):
     """Build the two-level photon grid, calibrated for k-NN.
 
     Returns (static, tables); tables = {"starts", "order", "starts2",
@@ -264,14 +264,21 @@ def build_photon_grid(positions, k: int, cap: int = 24,
     _t = _ptime.perf_counter()
     if on_device:
         pos_dev = positions.reshape(-1, 3).astype(jnp.float32)
-        n_dev = pos_dev.shape[0]
+        # n_real marks the valid prefix of a fixed-cap buffer (the
+        # count-independent-shape shoot contract); rows beyond it are
+        # garbage and masked as pads everywhere below
+        n_dev = pos_dev.shape[0] if n_real is None else int(n_real)
         if n_dev == 0:
             positions = np.zeros((0, 3), np.float64)
         else:
             nb = _bucket(n_dev)
-            pos_pad = pos_dev if nb == n_dev else jnp.concatenate(
-                [pos_dev, jnp.zeros((nb - n_dev, 3), jnp.float32)]
-            )
+            if pos_dev.shape[0] >= nb:
+                pos_pad = pos_dev[:nb]
+            else:
+                pos_pad = jnp.concatenate(
+                    [pos_dev,
+                     jnp.zeros((nb - pos_dev.shape[0], 3), jnp.float32)]
+                )
             # calibration subsample: byte-identical selection to the host
             # path's positions[::step][:200_000]
             step = max(1, n_dev // 200_000)
@@ -375,9 +382,14 @@ def build_photon_grid(positions, k: int, cap: int = 24,
         # ---- ONE fused device dispatch for the whole build ------------
         if payload_rows is not None:
             pay = payload_rows.astype(jnp.float32)
-            pay_pad = pay if nb == n_dev else jnp.concatenate(
-                [pay, jnp.zeros((nb - n_dev, pay.shape[1]), jnp.float32)]
-            )
+            if pay.shape[0] >= nb:
+                pay_pad = pay[:nb]
+            else:
+                pay_pad = jnp.concatenate(
+                    [pay,
+                     jnp.zeros((nb - pay.shape[0], pay.shape[1]),
+                               jnp.float32)]
+                )
         else:
             pay_pad = pos_pad
         ncap = _bucket_cells(max(int(np.prod(dims)), int(np.prod(dims2))))

@@ -68,47 +68,61 @@ def _find_object_light(scene):
 def shoot_photons_device(scene, tables, key, photon_count: int,
                          watts: float, kind: str, max_depth: int = 48,
                          chunk: int = 1 << 19):
-    """Shoot photons; returns (surface_rows, volume_rows) as DEVICE
-    float32 (S, PHOTON_ROW) arrays — only the two deposit COUNTS cross
-    the device->host link per chunk (the axon tunnel pulls at
-    ~13-40 MB/s, so the old per-chunk ~100 MB row pulls dominated the
-    shoot wall; PERF.md round-3). Deposits beyond the per-chunk capacity
-    are counted and reported."""
-    li, light = _find_object_light(scene)
-    power_scalar = watts / photon_count
+    """Shoot photons; returns ``(surface_rows, n_surface, volume_rows,
+    n_volume)`` with DEVICE float32 (cap, PHOTON_ROW) row buffers whose
+    first n rows are valid — only the deposit COUNTS cross the
+    device->host link per chunk (the axon tunnel pulls at ~13-40 MB/s,
+    so the old per-chunk ~100 MB row pulls dominated the shoot wall;
+    PERF.md round-3). Deposits beyond the per-chunk capacity are counted
+    and reported.
 
-    surf_parts, vol_parts = [], []
+    Shapes are COUNT-INDEPENDENT: chunks are equal-sized (one launch
+    executable instead of one per remainder size) and chunk results land
+    in fixed-cap buffers via dynamic_update_slice at the running count
+    (the old per-count slices + concat recompiled per seed and paid
+    ~4 s/run of axon per-op dispatch, PERF.md round 5). When
+    ``photon_count`` doesn't divide into equal chunks, nchunks*n_eq >=
+    photon_count photons are emitted and per-photon power is scaled by
+    the true emission count (same convention as the sharded shoot,
+    parallel.py) — single-chunk counts are bit-identical to the old
+    path."""
+    li, light = _find_object_light(scene)
+    nchunks = max(1, -(-photon_count // chunk))
+    n_eq = -(-photon_count // nchunks)
+    power_scalar = watts / (nchunks * n_eq)
+
+    launch = _shoot_launch(scene, li, power_scalar, kind, max_depth, n_eq)
+    s_buf = jnp.zeros((nchunks * launch.s_cap, PHOTON_ROW), jnp.float32)
+    v_buf = jnp.zeros((nchunks * launch.v_cap, PHOTON_ROW), jnp.float32)
+    s_n = v_n = 0
     dropped = 0
-    launch = _shoot_launch(scene, li, power_scalar, kind, max_depth, min(chunk, photon_count))
-    done = 0
-    while done < photon_count:
-        n = min(chunk, photon_count - done)
-        if n != launch.n:
-            launch = _shoot_launch(scene, li, power_scalar, kind, max_depth, n)
-        k = jax.random.fold_in(key, done)
+    for ci in range(nchunks):
+        k = jax.random.fold_in(key, ci * n_eq)
         s_rows, s_count, v_rows, v_count = launch.fn(tables, k)
         s_count = int(s_count)
         v_count = int(v_count)
         dropped += max(0, s_count - launch.s_cap) + max(0, v_count - launch.v_cap)
-        surf_parts.append(s_rows[: min(s_count, launch.s_cap)])
-        vol_parts.append(v_rows[: min(v_count, launch.v_cap)])
-        done += n
+        # valid prefixes stay contiguous: the next chunk's block starts
+        # exactly where this chunk's valid rows end, overwriting the
+        # garbage tail; only [total_n, ...) is garbage at the end, and
+        # every consumer masks by the returned counts
+        s_buf = jax.lax.dynamic_update_slice(s_buf, s_rows, (jnp.int32(s_n), 0))
+        v_buf = jax.lax.dynamic_update_slice(v_buf, v_rows, (jnp.int32(v_n), 0))
+        s_n += min(s_count, launch.s_cap)
+        v_n += min(v_count, launch.v_cap)
     if dropped:
         print(f"rpt_tpu: photon deposit capacity dropped {dropped} photons", file=sys.stderr)
-    empty = jnp.zeros((0, PHOTON_ROW), jnp.float32)
-    surface = jnp.concatenate(surf_parts) if surf_parts else empty
-    volume = jnp.concatenate(vol_parts) if vol_parts else empty
-    return surface, volume
+    return s_buf, s_n, v_buf, v_n
 
 
 def shoot_photons(scene, tables, key, photon_count: int, watts: float,
                   kind: str, max_depth: int = 48, chunk: int = 1 << 19):
     """shoot_photons_device pulled to host float32 arrays (bit-identical
     rows; kept for host-side callers and tests)."""
-    surface, volume = shoot_photons_device(
+    s_buf, s_n, v_buf, v_n = shoot_photons_device(
         scene, tables, key, photon_count, watts, kind, max_depth, chunk
     )
-    return np.asarray(surface), np.asarray(volume)
+    return np.asarray(s_buf)[:s_n], np.asarray(v_buf)[:v_n]
 
 
 @dataclass
@@ -307,18 +321,22 @@ jax.tree_util.register_dataclass(
 )
 
 
-def _grid_sort(rows, k: int):
+def _grid_sort(rows, k: int, n_real: int | None = None):
     """Grid build + payload reorder. ``rows`` on device -> everything
     (bin, argsort, reorder, pos4 packing) stays on device; host ndarray
-    -> the original exact-f64 host path (CPU/tests)."""
+    -> the original exact-f64 host path (CPU/tests). ``n_real`` marks
+    the valid prefix of a fixed-cap device row buffer (the shoot's
+    count-independent-shape contract)."""
     on_device = isinstance(rows, jax.Array) and not isinstance(rows, np.ndarray)
-    if on_device and rows.shape[0] == 0:
+    if on_device and (rows.shape[0] == 0 or n_real == 0):
         rows = np.zeros((0, PHOTON_ROW), np.float32)
         on_device = False
+        n_real = None
     if on_device:
         # payload sort rides the fused build dispatch (bucketed shapes;
         # tables come back padded — pads sort last, starts <= n always)
-        static, tabs = build_photon_grid(rows[:, 0:3], k=k, payload_rows=rows)
+        static, tabs = build_photon_grid(rows[:, 0:3], k=k, payload_rows=rows,
+                                         n_real=n_real)
         return static, {
             "starts": tabs["starts"],
             "starts2": tabs["starts2"],
@@ -327,6 +345,8 @@ def _grid_sort(rows, k: int):
             "pos4": tabs["pos4"],
             "pos4_2": tabs["pos4_2"],
         }
+    if n_real is not None:
+        rows = np.asarray(rows)[:n_real]
     static, tabs = build_photon_grid(rows[:, 0:3], k=k)
     order = np.asarray(tabs["order"])
     map2 = np.asarray(tabs["map2"])
@@ -348,19 +368,23 @@ def _grid_sort(rows, k: int):
 
 def build_photon_map(scene, tables, surface_rows: np.ndarray, volume_rows: np.ndarray,
                      kind: str, gather_size: int, gather_size_volume: int,
-                     rng: np.random.Generator) -> PhotonMapData:
-    s_static, s_tabs = _grid_sort(surface_rows, gather_size)
+                     rng: np.random.Generator, n_surface: int | None = None,
+                     n_volume: int | None = None) -> PhotonMapData:
+    """``n_surface``/``n_volume`` mark the valid prefixes of fixed-cap
+    device row buffers (the count-independent-shape shoot contract);
+    None means the arrays are exactly sized."""
+    s_static, s_tabs = _grid_sort(surface_rows, gather_size, n_surface)
     data = PhotonMapData(kind, s_static, s_tabs)
 
     if kind == PHOTON_MAP:
-        v_static, v_tabs = _grid_sort(volume_rows, gather_size_volume)
+        v_static, v_tabs = _grid_sort(volume_rows, gather_size_volume, n_volume)
         data.volume_static = v_static
         data.volume = v_tabs
     elif kind == POINT_BEAM:
         # adaptive radius: distance to the 10th NN (photon.rs:216-226)
-        v_static, v_tabs = _grid_sort(volume_rows, 10)
+        v_static, v_tabs = _grid_sort(volume_rows, 10, n_volume)
         v = np.asarray(v_tabs["rows"])
-        nv = len(volume_rows)
+        nv = len(volume_rows) if n_volume is None else n_volume
         if nv:
             radius = _knn_radius_device(v_static, v_tabs, nv, k=10)
             print(
@@ -398,6 +422,8 @@ def build_photon_map(scene, tables, surface_rows: np.ndarray, volume_rows: np.nd
     elif kind == BEAM_BEAM:
         # thin volume photons to 0.1% with power x1000 (photon.rs:773-793)
         volume_rows = np.asarray(volume_rows)  # host logic below
+        if n_volume is not None:
+            volume_rows = volume_rows[:n_volume]
         keep = rng.random(len(volume_rows)) < BEAM_THIN
         b = volume_rows[keep]
         if len(b) == 0:

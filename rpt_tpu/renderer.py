@@ -30,6 +30,14 @@ from .scene import CompiledScene, Scene
 
 
 
+@jax.jit
+def _masked_power_avg(rows, n):
+    """Mean |power| over the valid prefix of a fixed-cap photon buffer."""
+    w = (jnp.arange(rows.shape[0]) < n).astype(jnp.float32)
+    s = jnp.sum(jnp.linalg.norm(rows[:, 6:9], axis=1) * w)
+    return s / jnp.maximum(n.astype(jnp.float32), 1.0)
+
+
 @dataclass
 class Renderer:
     """Builder object (renderer.rs:23-134). Chainable setters return self
@@ -215,17 +223,19 @@ class Renderer:
         key = jax.random.key(self.seed_)
         print("Shooting photons")
         t0 = _time.perf_counter()
-        surface, volume = ph.shoot_photons_device(
+        surface, n_s, volume, n_v = ph.shoot_photons_device(
             scene, scene.tables, jax.random.fold_in(key, 1), photon_count,
             self.watts_, kind,
         )
         jax.block_until_ready((surface, volume))
         t_shoot = _time.perf_counter() - t0
-        print(f"PhotonList(surface: {len(surface)}, volume: {len(volume)})")
-        for name, rows in (("surface", surface), ("vol", volume)):
-            # mean |power| computed on device; only the scalar crosses
-            avg = (float(jnp.linalg.norm(rows[:, 6:9], axis=1).mean())
-                   if len(rows) else float("nan"))
+        print(f"PhotonList(surface: {n_s}, volume: {n_v})")
+        for name, rows, nn in (("surface", surface, n_s), ("vol", volume, n_v)):
+            # masked mean |power| computed on device (rows are fixed-cap
+            # buffers — count-shaped slices would recompile per seed);
+            # only the scalar crosses the link
+            avg = (float(_masked_power_avg(rows, jnp.int32(nn)))
+                   if nn else float("nan"))
             print(f"{name} avg: {avg}")
 
         print("Building kdtree")
@@ -234,6 +244,7 @@ class Renderer:
         pmap = ph.build_photon_map(
             scene, scene.tables, surface, volume, kind,
             self.gather_size_, self.gather_size_volume_, rng,
+            n_surface=n_s, n_volume=n_v,
         )
         jax.block_until_ready(pmap)
         t_build = _time.perf_counter() - t0
