@@ -129,20 +129,27 @@ def cut_clusters(bvh: FlatBVH, max_tris: int = CLUSTER_TRIS) -> list[np.ndarray]
     return clusters
 
 
-def pack_clusters(bvh: FlatBVH, verts: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+def pack_clusters(bvh: FlatBVH, verts: np.ndarray,
+                  max_tris: int = CLUSTER_TRIS) -> tuple[np.ndarray, np.ndarray, int]:
     """Pack fat cluster rows + bounding spheres.
 
     ``verts``: (T, 3, 3) in ORIGINAL order; ``bvh.perm`` is applied here
     (ids stored are permuted slots, matching the shade table order built
     by ``pack_bvh``). Returns (fat, sph, n_clusters) numpy arrays.
+    ``max_tris`` sets the fat-row slot count for THIS table set (every
+    traversal consumer derives it from the static row shapes, so two
+    differently-sized sets can coexist — e.g. a CT=16 any-hit set next
+    to the CT=32 closest-hit set; PERF.md round 5).
     """
+    ct = int(max_tris)
+    crow = 10 * ct
     v = np.asarray(verts, np.float64).reshape(-1, 3, 3)[bvh.perm]
-    clusters = cut_clusters(bvh)
+    clusters = cut_clusters(bvh, ct)
     c = len(clusters)
     c_pad = max(C_PAD, -(-c // C_PAD) * C_PAD)
 
     # (C, 64) slot matrix, then everything vectorizes
-    slot_mat = np.full((c_pad, CLUSTER_TRIS), -1, np.int64)
+    slot_mat = np.full((c_pad, ct), -1, np.int64)
     for ci, slots in enumerate(clusters):
         slot_mat[ci, : len(slots)] = slots
     valid = slot_mat >= 0
@@ -151,14 +158,14 @@ def pack_clusters(bvh: FlatBVH, verts: np.ndarray) -> tuple[np.ndarray, np.ndarr
     e1 = tri[:, :, 1] - v1
     e2 = tri[:, :, 2] - v1
 
-    fat = np.zeros((c_pad, 10, CLUSTER_TRIS), np.float64)
+    fat = np.zeros((c_pad, 10, ct), np.float64)
     for comp, vals in enumerate(
         (v1[..., 0], v1[..., 1], v1[..., 2], e1[..., 0], e1[..., 1], e1[..., 2],
          e2[..., 0], e2[..., 1], e2[..., 2])
     ):
         fat[:, comp] = np.where(valid, vals, 0.0)
     fat[:, 9] = slot_mat
-    fat = fat.reshape(c_pad, CLUSTER_ROW).astype(np.float32)
+    fat = fat.reshape(c_pad, crow).astype(np.float32)
 
     # padding clusters: far away, zero radius -> never pass culling
     sph = np.zeros((c_pad, 4), np.float32)
@@ -172,7 +179,7 @@ def pack_clusters(bvh: FlatBVH, verts: np.ndarray) -> tuple[np.ndarray, np.ndarr
     # inflate for f32 rounding in the device-side interval culling
     sph[:c, 3] = r * (1.0 + 1e-5) + 1e-6
 
-    rec = np.zeros((c_pad * CLUSTER_TRIS, 12), np.float32)
+    rec = np.zeros((c_pad * ct, 12), np.float32)
     rec[:, 0:3] = np.where(valid[..., None], v1, 0.0).reshape(-1, 3)
     rec[:, 3:6] = np.where(valid[..., None], e1, 0.0).reshape(-1, 3)
     rec[:, 6:9] = np.where(valid[..., None], e2, 0.0).reshape(-1, 3)

@@ -863,8 +863,11 @@ def occluded(scene, tables, ray: Ray, limit, t_min=None,
         t_min = scene.t_min
     occ = _prim_best(scene, tables, ray, t_min).time < limit
     if scene.n_tris:
+        # any-hit prefers the CT=16 table set when built (drain-phase
+        # row cost halves with no best-pruning ramp to lose; PERF.md r5)
+        cl = tables.get("clusters_ah") or tables.get("clusters")
         occ = occ | bvh_any_hit(
-            tables["bvh"], ray, t_min, limit, clusters=tables.get("clusters"),
+            tables["bvh"], ray, t_min, limit, clusters=cl,
             coherent=coherent, skip=occ,
         )
     return occ

@@ -249,6 +249,30 @@ def compile_scene(scene: Scene) -> CompiledScene:
                 n_clusters=n_c, tree_depth=ctree_depth, tree_top=ctree_top,
             )
 
+            # Optional SECOND table set with a different fat-row slot
+            # count for the ANY-HIT (shadow) phase: any-hit lanes drain
+            # fat rows early (no best-pruning ramp), where a halved row
+            # cost wins (CT=16 any-hit 151.9 ms vs CT=32's 189.8 on the
+            # dragon L1 wavefront) while closest-hit keeps CT=32 (CT=16
+            # lost 10.6% there) — PERF.md round 5. Flag-gated pending the
+            # net-bench A/B (RPT_TPU_AH_CT=16 to enable).
+            import os as _os
+
+            from .accel.clusters import CLUSTER_TRIS
+
+            ah_ct = int(_os.environ.get("RPT_TPU_AH_CT", "0"))
+            if ah_ct and ah_ct != CLUSTER_TRIS:
+                fat2, sph2, rec2, sup2, supblk2, (bl2, bh2, tc2), n_c2 = (
+                    pack_clusters(bvh, v, ah_ct)
+                )
+                ctree2, depth2, top2 = pack_wide_cluster_tree(bl2, bh2, tc2)
+                tables["clusters_ah"] = ClusterTables(
+                    fat=jnp.asarray(fat2), sph=jnp.asarray(sph2),
+                    rec=jnp.asarray(rec2), sup=jnp.asarray(sup2),
+                    supblk=jnp.asarray(supblk2), tree=jnp.asarray(ctree2),
+                    n_clusters=n_c2, tree_depth=depth2, tree_top=top2,
+                )
+
     compiled_lights = []
     light_tabs = []
     for light in scene.lights:

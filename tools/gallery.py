@@ -137,6 +137,33 @@ def write_index(new_results, scale=4, samples=16, photons=200_000):
             wall = r.get("wall_s", "—")
             f.write(f"| {r['name']} | {'✅' if r['ok'] else '❌'} | "
                     f"{wall} | {imgs} |\n")
+
+        star_path = os.path.join(OUT, "star_results.json")
+        if os.path.exists(star_path):
+            try:
+                with open(star_path) as sf:
+                    stars = json.load(sf)
+            except json.JSONDecodeError:
+                stars = []
+            if stars:
+                f.write(
+                    "\n## ★ baseline configs at FULL reference parameters\n\n"
+                    "Rendered by `tools/star_renders.py` (no preview env — "
+                    "the exact\nreference workload definitions; wall "
+                    "includes compile where cold).\n\n"
+                )
+                f.write("| config | params | status | wall (s) | images |\n"
+                        "|---|---|---|---|---|\n")
+                for r in stars:
+                    imgs = " ".join(
+                        f"![{i}](star/{r['name']}/{i})"
+                        for i in r["images"][:2]
+                    )
+                    f.write(
+                        f"| {r['name']} | {r['params']} | "
+                        f"{'✅' if r['ok'] else '❌'} | {r['wall_s']} | "
+                        f"{imgs} |\n"
+                    )
     return merged
 
 
