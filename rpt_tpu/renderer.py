@@ -251,13 +251,32 @@ class Renderer:
 
         print("Tracing rays")
         t0 = _time.perf_counter()
-        fn = _photon_launch(
-            scene, self.camera, self.width_, self.height_, kind,
-            self.gather_size_, self.gather_size_volume_, self.num_samples_,
-            occlusion_check,
-        )
-        out = fn(scene.tables, pmap, jax.random.fold_in(key, 2))
-        mean = np.asarray(out).astype(np.float64) / self.num_samples_ * (2.0**self.exposure_value_)
+        # Bound samples-per-dispatch: the axon worker kills XLA
+        # executions that run for minutes ("TPU worker crashed" at the
+        # star lampshade/photon_map full-param pulls, round 5), so the
+        # camera pass runs in groups sized inversely to the pixel count
+        # (~10 spp at 128^2, 1 spp at 512^2). Per-sample RNG streams use
+        # absolute indices, so grouping never changes the estimate.
+        group = int(os.environ.get(
+            "RPT_TPU_PHOTON_SPP_GROUP",
+            str(max(1, (10 * 16384) // max(self.width_ * self.height_, 1))),
+        ))
+        ckey = jax.random.fold_in(key, 2)
+        mean = None
+        s0 = 0
+        while s0 < self.num_samples_:
+            g = min(group, self.num_samples_ - s0)
+            fn = _photon_launch(
+                scene, self.camera, self.width_, self.height_, kind,
+                self.gather_size_, self.gather_size_volume_, g,
+                occlusion_check,
+            )
+            out = np.asarray(
+                fn(scene.tables, pmap, ckey, jnp.int32(s0))
+            ).astype(np.float64)
+            mean = out if mean is None else mean + out
+            s0 += g
+        mean = mean / self.num_samples_ * (2.0**self.exposure_value_)
         t_trace = _time.perf_counter() - t0
         # shoot/build/trace wall split for PERF.md + bench_extra
         self.phase_seconds = {"shoot": t_shoot, "build": t_build, "trace": t_trace}
@@ -385,7 +404,7 @@ def _photon_launch(scene: CompiledScene, camera: Camera, width: int, height: int
     # allocate tens of GB. lax.map over pixel chunks bounds peak memory.
     CH = 16384
 
-    def launch(tables, pmap, key):
+    def launch(tables, pmap, key, s0):
         xn = jnp.asarray(xn_np, DTYPE)
         yn = jnp.asarray(yn_np, DTYPE)
         pix_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
@@ -425,7 +444,10 @@ def _photon_launch(scene: CompiledScene, camera: Camera, width: int, height: int
             return acc + color, None
 
         acc0 = jnp.zeros((n_pix, 3), jnp.float32)
-        total, _ = jax.lax.scan(one_sample, acc0, jnp.arange(n_samples))
+        # absolute sample indices s0..s0+n_samples: groups of a multi-
+        # group render continue the same per-sample RNG streams, so the
+        # radiance sum is invariant to the grouping (up to f32 order)
+        total, _ = jax.lax.scan(one_sample, acc0, s0 + jnp.arange(n_samples))
         return jnp.take(total, jnp.asarray(inv_np, jnp.int32), axis=0)
 
     return jax.jit(launch)
