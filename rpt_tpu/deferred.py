@@ -65,7 +65,15 @@ CAND_SLOTS = int(os.environ.get("RPT_TPU_CAND_SLOTS", "16"))
 # alternating-fallback burst lengths (small wavefronts + cleanup only)
 DESCENT_STEPS = int(os.environ.get("RPT_TPU_DESCENT_STEPS", "6"))
 TEST_ROUNDS = int(os.environ.get("RPT_TPU_TEST_ROUNDS", "3"))
-LADDER_DIV = int(os.environ.get("RPT_TPU_LADDER_DIV", "4"))  # stage compaction ratio
+# Stage compaction ratio. Swept on the real chip under the TOP_SEED=0
+# default (round 5, bench A/B at identical mean radiance): 4 -> 2.68
+# Mrays/s, 8 -> 3.10, 16 -> 3.16 (confirmed twice), 32 -> 2.81,
+# 64 -> 2.43. DIV=16 balances per-rung boundary costs (full-width
+# argsort + packed-block gather per rung: 262k->16k->4k is 3 rungs vs
+# DIV=4's 4) against the extra iterations the widest stage must run
+# before its active count fits the next rung (DIV=64's 262k->4k runs
+# the expensive full-width stage far too long).
+LADDER_DIV = int(os.environ.get("RPT_TPU_LADDER_DIV", "16"))
 MIN_STAGE = 4096  # narrowest ladder stage
 # Narrow ladder stages are SEQUENTIAL-fixed-cost bound (~0.4 ms per
 # while_loop iteration regardless of width <= ~32k, PERF.md): running K
