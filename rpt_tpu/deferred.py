@@ -74,7 +74,7 @@ TEST_ROUNDS = int(os.environ.get("RPT_TPU_TEST_ROUNDS", "3"))
 # before its active count fits the next rung (DIV=64's 262k->4k runs
 # the expensive full-width stage far too long).
 LADDER_DIV = int(os.environ.get("RPT_TPU_LADDER_DIV", "16"))
-MIN_STAGE = 4096  # narrowest ladder stage
+MIN_STAGE = int(os.environ.get("RPT_TPU_MIN_STAGE", "4096"))  # narrowest ladder stage
 # Narrow ladder stages are SEQUENTIAL-fixed-cost bound (~0.4 ms per
 # while_loop iteration regardless of width <= ~32k, PERF.md): running K
 # steps per iteration cuts the boundary count K-fold. Steps are no-ops
