@@ -94,7 +94,17 @@ UNROLL_K = int(os.environ.get("RPT_TPU_UNROLL_K", "4"))
 # (0.79 Mrays/s with it, landed untested during the round-4 outage).
 # A depth-capped seed stack (spill -> root-rest entry) could recover
 # the gather win without the state bloat — unexplored.
-TOP_SEED = os.environ.get("RPT_TPU_TOP_SEED", "0") == "1"
+# "0" = off (default), "1" = full dense seed (all internal root
+# children get direct stack entries — M = 2*tree_top+1 extra stack
+# columns, measured as the round-5 bench regression), N>=2 = DEPTH-
+# CAPPED seed: only each lane's nearest N internal root children get
+# entry pairs; the rest merge into ONE root-restart entry (re-descends
+# those subtrees through the normal gather path when popped). Caps the
+# seeded stack at 2N+2 columns, keeping the ~2 gathers/ray the seed
+# saves without the packed-block bloat that sank the full seed.
+_ts = os.environ.get("RPT_TPU_TOP_SEED", "0")
+TOP_SEED = _ts != "0"
+TOP_SEED_CAP = None if _ts in ("0", "1") else max(1, int(_ts))
 
 # Root-segment cull: one broadcast slab test of the static root row
 # retires lanes whose [t_min, cutoff] segment misses every root child
@@ -209,7 +219,7 @@ def _broadcast_row_test(row, o3w, inv3w, t_min, cutoff, live, wide):
 
 
 def _dense_top_seed(tree, top_internal, uray, inv_dir, t_min, limit_u,
-                    best_u0, active, depth):
+                    best_u0, active, depth, cap=None):
     """Consume the top TWO wide-row levels with ZERO gathers.
 
     Rows 0..top_internal are static slices (BFS packing puts the root's
@@ -246,25 +256,72 @@ def _dense_top_seed(tree, top_internal, uray, inv_dir, t_min, limit_u,
     entries_v.append(bits0)  # (0 << wide) | bits0
 
     int0 = h0 & (m0 == 0)
+    if cap is not None:
+        # Depth-capped seeding: rank each lane's hit internal root
+        # children by entry distance ((distance, slot) lexicographic so
+        # ranks are unique); only ranks < cap get entry pairs, the rest
+        # merge into ONE root-restart entry (popping it re-tests the
+        # static root row with exactly those slots and descends them
+        # through the normal gather path — exact, every hit child still
+        # covered exactly once).
+        ei0 = jnp.where(int0, e0, INF)
+        lt = (ei0[:, :, None] < ei0[:, None, :]) | (
+            (ei0[:, :, None] == ei0[:, None, :])
+            & (slot8[:, :, None] < slot8[:, None, :])
+        )
+        rank = jnp.sum(
+            lt & int0[:, :, None] & int0[:, None, :], axis=1
+        ).astype(jnp.int32)
+        kept = int0 & (rank < cap)
+        spilled = int0 & (rank >= cap)
+        spill_bits = jnp.sum(jnp.where(spilled, 1 << slot8, 0), axis=1)
+        spill_e = jnp.min(jnp.where(spilled, e0, INF), axis=1)
+        entries_e.append(jnp.where(spill_bits != 0, spill_e, NEG))
+        entries_v.append(spill_bits)  # (0 << wide) | bits — root restart
+        pair_e = [jnp.full(n, NEG, e0.dtype) for _ in range(2 * cap)]
+        pair_v = [jnp.zeros(n, jnp.int32) for _ in range(2 * cap)]
+    else:
+        kept = int0
     for r in range(1, top_internal + 1):
-        par = int0 & (p0 == r)
+        par = kept & (p0 == r)
         par_hit = jnp.any(par, axis=1)
-        er, pr, mr, hr, slot8 = _broadcast_row_test(
+        er, pr, mr, hr, slot8r = _broadcast_row_test(
             tree[r], o3w, inv3w, t_min, cutoff, par_hit, wide
         )
         int_r = hr & (mr == 0)
         ei = jnp.where(int_r, er, INF)
         ni = jnp.argmin(ei, axis=1).astype(jnp.int32)
         has_int = jnp.any(int_r, axis=1)
-        near_ptr = jnp.sum(jnp.where(slot8 == ni[:, None], pr, 0), axis=1)
+        near_ptr = jnp.sum(jnp.where(slot8r == ni[:, None], pr, 0), axis=1)
         near_e = jnp.min(ei, axis=1)
-        entries_e.append(jnp.where(has_int, near_e, NEG))
-        entries_v.append((near_ptr << wide) | full)
-        rest = hr & ~(int_r & (slot8 == ni[:, None]))
-        rest_bits = jnp.sum(jnp.where(rest, 1 << slot8, 0), axis=1)
+        near_e_ent = jnp.where(has_int, near_e, NEG)
+        near_v_ent = (near_ptr << wide) | full
+        rest = hr & ~(int_r & (slot8r == ni[:, None]))
+        rest_bits = jnp.sum(jnp.where(rest, 1 << slot8r, 0), axis=1)
         rest_e = jnp.min(jnp.where(rest, er, INF), axis=1)
-        entries_e.append(jnp.where(rest_bits != 0, rest_e, NEG))
-        entries_v.append((r << wide) | rest_bits)
+        rest_e_ent = jnp.where(rest_bits != 0, rest_e, NEG)
+        rest_v_ent = (r << wide) | rest_bits
+        if cap is None:
+            entries_e.append(near_e_ent)
+            entries_v.append(near_v_ent)
+            entries_e.append(rest_e_ent)
+            entries_v.append(rest_v_ent)
+        else:
+            # accumulate this row's pair into its per-lane rank slot
+            r_rank = jnp.sum(jnp.where(par, rank, 0), axis=1)
+            for j in range(cap):
+                sel = par_hit & (r_rank == j)
+                pair_e[2 * j] = jnp.where(sel, near_e_ent, pair_e[2 * j])
+                pair_v[2 * j] = jnp.where(sel, near_v_ent, pair_v[2 * j])
+                pair_e[2 * j + 1] = jnp.where(
+                    sel, rest_e_ent, pair_e[2 * j + 1]
+                )
+                pair_v[2 * j + 1] = jnp.where(
+                    sel, rest_v_ent, pair_v[2 * j + 1]
+                )
+    if cap is not None:
+        entries_e.extend(pair_e)
+        entries_v.extend(pair_v)
 
     E = jnp.stack(entries_e, axis=1)  # (n, M)
     V = jnp.stack(entries_v, axis=1).astype(jnp.int32)
@@ -588,7 +645,7 @@ def deferred_traverse(ct: ClusterTables, ray: Ray, t_min, limit, best_time,
         # consume the top two row-levels densely (zero gathers)
         cur0, sp0, stack0 = _dense_top_seed(
             ct.tree, ct.tree_top, uray, inv_dir, t_min, limit_u, best_u0,
-            active, depth,
+            active, depth, cap=TOP_SEED_CAP,
         )
     else:
         cur0 = jnp.where(
