@@ -92,8 +92,12 @@ UNROLL_K = int(os.environ.get("RPT_TPU_UNROLL_K", "4"))
 # boundary gathers and scatters, plus tree_top+1 full-width broadcast
 # slab tests. This single flag was the round-5 bench regression
 # (0.79 Mrays/s with it, landed untested during the round-4 outage).
-# A depth-capped seed stack (spill -> root-rest entry) could recover
-# the gather win without the state bloat — unexplored.
+# The depth-capped seed stack (spill -> root-rest entry, N>=2 below)
+# was then built to recover the gather win without the state bloat and
+# ALSO measured net-negative on the full bench (TOP_SEED=2: 2.19 vs
+# 3.16 Mrays/s, identical mean radiance, round-5 queue #4) — even 2N+2
+# extra packed columns plus the seed's broadcast slab tests cost more
+# than the ~2 gathers/ray saved. Seeding stays available per-scene.
 # "0" = off (default), "1" = full dense seed (all internal root
 # children get direct stack entries — M = 2*tree_top+1 extra stack
 # columns, measured as the round-5 bench regression), N>=2 = DEPTH-
